@@ -1,0 +1,438 @@
+"""Alignments: readers, state encoding, site-pattern compression.
+
+Host-side (NumPy) data model replacing the reference's Alignment/Pattern
+classes (/root/reference/alignment.h:50, pattern.h:24).  Sites are
+compressed to unique weighted patterns; ambiguity codes are kept as integer
+codes >= num_states with a code->state indicator table, so the device
+kernels can turn any tip code into a tip partial-likelihood row by a single
+gather (the TPU-native analogue of computeTipPartialLikelihood,
+/root/reference/phylotreesse.cpp:359-460).
+
+Supported formats: PHYLIP (sequential + interleaved), FASTA, NEXUS data
+block, CLUSTAL (/root/reference/alignment.h:109-143).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Sequence types and state encodings
+# ---------------------------------------------------------------------------
+
+SEQ_DNA = "DNA"
+SEQ_PROTEIN = "AA"
+SEQ_BINARY = "BIN"
+SEQ_MORPH = "MORPH"
+SEQ_CODON = "CODON"
+
+# DNA: states 0..3 = A,C,G,T; ambiguity codes are extra integer codes with an
+# appearance bitmask over {A,C,G,T} (cf. /root/reference/alignment.cpp
+# convertState: R=A|G, Y=C|T, W=A|T, S=C|G, M=A|C, K=G|T, B/H/D/V, N/?/-=any).
+_DNA_CODES: Dict[str, Tuple[int, ...]] = {
+    "A": (0,), "C": (1,), "G": (2,), "T": (3,), "U": (3,),
+    "R": (0, 2), "Y": (1, 3), "W": (0, 3), "S": (1, 2),
+    "M": (0, 1), "K": (2, 3),
+    "B": (1, 2, 3), "H": (0, 1, 3), "D": (0, 2, 3), "V": (0, 1, 2),
+    "N": (0, 1, 2, 3), "X": (0, 1, 2, 3), "O": (0, 1, 2, 3),
+    "?": (0, 1, 2, 3), "-": (0, 1, 2, 3), ".": (0, 1, 2, 3), "~": (0, 1, 2, 3),
+}
+
+_AA_ORDER = "ARNDCQEGHILKMFPSTWYV"  # standard 20-state ordering (reference order)
+_AA_CODES: Dict[str, Tuple[int, ...]] = {c: (i,) for i, c in enumerate(_AA_ORDER)}
+_AA_CODES.update({
+    "B": (_AA_ORDER.index("N"), _AA_ORDER.index("D")),
+    "Z": (_AA_ORDER.index("Q"), _AA_ORDER.index("E")),
+    "J": (_AA_ORDER.index("I"), _AA_ORDER.index("L")),
+    "U": (_AA_ORDER.index("C"),),  # selenocysteine -> C (reference maps U->C? keep permissive)
+    "X": tuple(range(20)), "*": tuple(range(20)),
+    "?": tuple(range(20)), "-": tuple(range(20)), ".": tuple(range(20)), "~": tuple(range(20)),
+})
+
+_BIN_CODES: Dict[str, Tuple[int, ...]] = {
+    "0": (0,), "1": (1,),
+    "?": (0, 1), "-": (0, 1), ".": (0, 1), "~": (0, 1),
+}
+
+
+def _morph_codes(num_states: int) -> Dict[str, Tuple[int, ...]]:
+    codes: Dict[str, Tuple[int, ...]] = {}
+    digits = "0123456789ABCDEFGHIJKLMNOPQRSTUV"
+    for i in range(num_states):
+        codes[digits[i]] = (i,)
+    allstates = tuple(range(num_states))
+    for c in "?-.~":
+        codes[c] = allstates
+    return codes
+
+
+@dataclass
+class StateSpace:
+    """Maps characters <-> integer codes and codes -> state indicator masks.
+
+    Codes 0..num_states-1 are definite states; further codes are ambiguity
+    classes.  `code_masks[c]` is a float [num_states] 0/1 indicator of
+    states consistent with code c; the all-ones row is the unknown code.
+    """
+
+    seq_type: str
+    num_states: int
+    char_to_code: Dict[str, int]
+    code_masks: np.ndarray  # [num_codes, num_states] float32
+    code_chars: List[str]
+
+    @property
+    def unknown_code(self) -> int:
+        return self.char_to_code["?"]
+
+    @classmethod
+    def make(cls, seq_type: str, num_states: Optional[int] = None) -> "StateSpace":
+        if seq_type == SEQ_DNA:
+            table, ns = _DNA_CODES, 4
+        elif seq_type == SEQ_PROTEIN:
+            table, ns = _AA_CODES, 20
+        elif seq_type == SEQ_BINARY:
+            table, ns = _BIN_CODES, 2
+        elif seq_type == SEQ_MORPH:
+            ns = num_states or 2
+            table = _morph_codes(ns)
+        else:
+            raise ValueError(f"unsupported seq type {seq_type}")
+        # Deduplicate by state-set: definite states first, then ambiguity sets.
+        set_to_code: Dict[Tuple[int, ...], int] = {(i,): i for i in range(ns)}
+        masks: List[Tuple[int, ...]] = [(i,) for i in range(ns)]
+        char_to_code: Dict[str, int] = {}
+        code_chars: List[str] = [c for c, s in table.items() if len(s) == 1 and s[0] < ns][:ns]
+        # ensure canonical char for definite states
+        code_chars = [None] * ns  # type: ignore
+        for c, states in table.items():
+            if len(states) == 1 and code_chars[states[0]] is None:
+                code_chars[states[0]] = c
+        for c, states in table.items():
+            key = tuple(sorted(states))
+            if key not in set_to_code:
+                set_to_code[key] = len(masks)
+                masks.append(key)
+                code_chars.append(c)
+            char_to_code[c] = set_to_code[key]
+        m = np.zeros((len(masks), ns), dtype=np.float32)
+        for code, states in enumerate(masks):
+            m[code, list(states)] = 1.0
+        return cls(seq_type, ns, char_to_code, m, code_chars)
+
+    def encode(self, seq: str) -> np.ndarray:
+        out = np.empty(len(seq), dtype=np.int32)
+        c2c = self.char_to_code
+        unknown = self.unknown_code
+        for i, ch in enumerate(seq):
+            code = c2c.get(ch.upper())
+            if code is None:
+                raise ValueError(f"invalid character {ch!r} for {self.seq_type}")
+            out[i] = code
+        return out
+
+
+def detect_seq_type(seqs: List[str]) -> str:
+    """Heuristic sequence-type detection like Alignment::detectSequenceType
+    (/root/reference/alignment.cpp)."""
+    counts: Dict[str, int] = {}
+    total = 0
+    for s in seqs:
+        for ch in s.upper():
+            if ch in "?-.~NX":
+                continue
+            counts[ch] = counts.get(ch, 0) + 1
+            total += 1
+    if total == 0:
+        return SEQ_DNA
+    dna = sum(counts.get(c, 0) for c in "ACGTU")
+    binary = sum(counts.get(c, 0) for c in "01")
+    digits = sum(counts.get(c, 0) for c in "0123456789")
+    if binary / total > 0.9:
+        return SEQ_BINARY
+    if digits / total > 0.9:
+        return SEQ_MORPH
+    if dna / total > 0.85:
+        return SEQ_DNA
+    return SEQ_PROTEIN
+
+
+# ---------------------------------------------------------------------------
+# Alignment
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Alignment:
+    """Pattern-compressed multiple sequence alignment.
+
+    patterns:     int32 [n_taxa, n_patterns] integer codes
+    pattern_freq: float64 [n_patterns] site counts per pattern
+    site_to_pattern: int32 [n_sites]
+    const_state:  int32 [n_patterns]; -1 = not invariant-compatible,
+                  num_states = all-unknown column, else the constant state
+                  (semantics of Pattern::const_char,
+                  /root/reference/alignment.cpp computeConst)
+    """
+
+    names: List[str]
+    patterns: np.ndarray
+    pattern_freq: np.ndarray
+    site_to_pattern: np.ndarray
+    states: StateSpace
+    is_informative: np.ndarray = field(default=None)  # [n_patterns] bool
+
+    @property
+    def n_taxa(self) -> int:
+        return self.patterns.shape[0]
+
+    @property
+    def n_patterns(self) -> int:
+        return self.patterns.shape[1]
+
+    @property
+    def n_sites(self) -> int:
+        return int(self.site_to_pattern.shape[0])
+
+    @property
+    def num_states(self) -> int:
+        return self.states.num_states
+
+    @property
+    def const_state(self) -> np.ndarray:
+        return self._const_state
+
+    def __post_init__(self):
+        self._compute_const_informative()
+
+    def _compute_const_informative(self):
+        masks = self.states.code_masks  # [codes, S]
+        pat_masks = masks[self.patterns]  # [taxa, ptn, S]
+        inter = pat_masks.min(axis=0)  # [ptn, S] intersection of appearances
+        count = inter.sum(axis=1)
+        ns = self.num_states
+        const_state = np.full(self.n_patterns, -1, dtype=np.int32)
+        all_unknown = count == ns
+        const_state[all_unknown] = ns
+        single = count == 1
+        const_state[single] = inter[single].argmax(axis=1)
+        self._const_state = const_state
+        # parsimony-informative: >=2 states appearing >=2 times (ambiguous
+        # codes count toward every consistent state, cf. computeConst)
+        app_counts = pat_masks.sum(axis=0)  # [ptn, S] appearances per state
+        definite = self.patterns < ns
+        # reference counts ambiguous (non-unknown) toward all consistent states;
+        # unknown chars are skipped
+        unknown = self.patterns == self.states.unknown_code
+        adj = pat_masks * (~unknown[:, :, None])
+        app_counts = adj.sum(axis=0)
+        self.is_informative = (app_counts >= 2).sum(axis=1) >= 2
+
+    # -- derived quantities used by the engine/report --------------------
+
+    def state_frequencies(self) -> np.ndarray:
+        """Empirical state frequencies (+F), counting ambiguous characters
+        fractionally (reference computeStateFreq distributes via appearance)."""
+        masks = self.states.code_masks[self.patterns]  # [taxa, ptn, S]
+        w = masks / masks.sum(axis=2, keepdims=True)
+        freq = (w * self.pattern_freq[None, :, None]).sum(axis=(0, 1))
+        freq = freq / freq.sum()
+        # avoid zero frequencies like the reference (modelgtr.cpp ensures >0)
+        freq = np.maximum(freq, 1e-10)
+        return freq / freq.sum()
+
+    def frac_const_sites(self) -> float:
+        isconst = self._const_state >= 0
+        return float(self.pattern_freq[isconst].sum() / self.pattern_freq.sum())
+
+    def frac_invariant_sites(self) -> float:
+        """Fraction of single-state constant sites (no ambiguity)."""
+        ns = self.num_states
+        isconst = (self._const_state >= 0) & (self._const_state < ns)
+        definite = (self.patterns < ns).all(axis=0) | ((self.patterns == self.states.unknown_code).all(axis=0))
+        return float(self.pattern_freq[isconst].sum() / self.pattern_freq.sum())
+
+    def num_informative_sites(self) -> int:
+        return int(self.pattern_freq[self.is_informative].sum())
+
+    def bootstrap_pattern_freq(self, rng: np.random.Generator) -> np.ndarray:
+        """One bootstrap resample as a pattern-frequency vector
+        (Alignment::createBootstrapAlignment, /root/reference/alignment.h:383)."""
+        probs = self.pattern_freq / self.pattern_freq.sum()
+        return rng.multinomial(self.n_sites, probs).astype(np.float64)
+
+    @classmethod
+    def from_sequences(
+        cls,
+        names: List[str],
+        seqs: List[str],
+        seq_type: Optional[str] = None,
+        num_states: Optional[int] = None,
+    ) -> "Alignment":
+        if len(set(len(s) for s in seqs)) != 1:
+            lens = {n: len(s) for n, s in zip(names, seqs)}
+            raise ValueError(f"sequences have unequal lengths: {lens}")
+        if seq_type is None:
+            seq_type = detect_seq_type(seqs)
+        states = StateSpace.make(seq_type, num_states)
+        mat = np.stack([states.encode(s) for s in seqs])  # [taxa, sites]
+        # pattern compression: unique columns with counts
+        cols = np.ascontiguousarray(mat.T)
+        uniq, site_to_pattern, counts = np.unique(
+            cols, axis=0, return_inverse=True, return_counts=True
+        )
+        patterns = np.ascontiguousarray(uniq.T).astype(np.int32)
+        return cls(
+            names=list(names),
+            patterns=patterns,
+            pattern_freq=counts.astype(np.float64),
+            site_to_pattern=site_to_pattern.astype(np.int32),
+            states=states,
+        )
+
+
+# ---------------------------------------------------------------------------
+# File readers (PHYLIP / FASTA / NEXUS / CLUSTAL)
+# ---------------------------------------------------------------------------
+
+
+def read_alignment(
+    path: str, seq_type: Optional[str] = None, fmt: Optional[str] = None
+) -> Alignment:
+    """Read an alignment with format auto-detection
+    (cf. Alignment ctor dispatch, /root/reference/alignment.cpp readFile)."""
+    with open(path) as f:
+        text = f.read()
+    if not text.strip():
+        raise ValueError(f"alignment file {path} is empty")
+    if fmt is None:
+        head = text.lstrip()[:10].upper()
+        if head.startswith(">"):
+            fmt = "fasta"
+        elif head.startswith("#NEXUS"):
+            fmt = "nexus"
+        elif head.startswith("CLUSTAL"):
+            fmt = "clustal"
+        else:
+            fmt = "phylip"
+    names, seqs = _READERS[fmt](text)
+    return Alignment.from_sequences(names, seqs, seq_type)
+
+
+def _read_fasta(text: str):
+    names, seqs, cur = [], [], []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith(">"):
+            if cur:
+                seqs.append("".join(cur))
+                cur = []
+            names.append(line[1:].split()[0])
+        else:
+            cur.append(line.replace(" ", ""))
+    if cur:
+        seqs.append("".join(cur))
+    if not names:
+        raise ValueError("empty FASTA file")
+    return names, seqs
+
+
+def _read_phylip(text: str):
+    lines = [l for l in text.splitlines() if l.strip()]
+    m = re.match(r"\s*(\d+)\s+(\d+)", lines[0])
+    if not m:
+        raise ValueError("bad PHYLIP header")
+    ntax, nsites = int(m.group(1)), int(m.group(2))
+    names: List[str] = []
+    seqs: List[List[str]] = []
+    idx = 0
+    for line in lines[1:]:
+        if len(names) < ntax:
+            parts = line.split(None, 1)
+            if len(parts) == 1:
+                name, rest = parts[0], ""
+            else:
+                name, rest = parts
+            names.append(name)
+            seqs.append([rest.replace(" ", "")])
+        else:  # interleaved continuation
+            seqs[idx % ntax].append(line.replace(" ", ""))
+            idx += 1
+    out = ["".join(chunks) for chunks in seqs]
+    for n, s in zip(names, out):
+        if len(s) != nsites:
+            raise ValueError(f"sequence {n}: {len(s)} chars, expected {nsites}")
+    return names, out
+
+
+def _read_clustal(text: str):
+    lines = text.splitlines()
+    order: List[str] = []
+    chunks: Dict[str, List[str]] = {}
+    for line in lines[1:]:
+        if not line.strip() or line.startswith((" ", "\t")):
+            continue
+        parts = line.split()
+        if len(parts) < 2:
+            continue
+        name, seq = parts[0], parts[1]
+        if set(seq) <= set("*:. "):
+            continue
+        if name not in chunks:
+            order.append(name)
+            chunks[name] = []
+        chunks[name].append(seq)
+    return order, ["".join(chunks[n]) for n in order]
+
+
+def _strip_nexus_comments(text: str) -> str:
+    out, depth = [], 0
+    for ch in text:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+        elif depth == 0:
+            out.append(ch)
+    return "".join(out)
+
+
+def _read_nexus(text: str):
+    """Minimal NEXUS data/characters block reader (replaces the vendored NCL,
+    /root/reference/ncl/)."""
+    text = _strip_nexus_comments(text)
+    m = re.search(r"begin\s+(data|characters)\s*;(.*?)end\s*;", text, re.I | re.S)
+    if not m:
+        raise ValueError("no data/characters block in NEXUS file")
+    block = m.group(2)
+    mm = re.search(r"matrix(.*?);", block, re.I | re.S)
+    if not mm:
+        raise ValueError("no matrix in NEXUS data block")
+    names, chunks = [], {}
+    for line in mm.group(1).splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        qm = re.match(r"'([^']+)'\s+(\S+)", line) or re.match(r"(\S+)\s+(\S+)", line)
+        if not qm:
+            continue
+        name, seq = qm.group(1), qm.group(2)
+        if name not in chunks:
+            names.append(name)
+            chunks[name] = []
+        chunks[name].append(seq)
+    return names, ["".join(chunks[n]) for n in names]
+
+
+_READERS = {
+    "fasta": _read_fasta,
+    "phylip": _read_phylip,
+    "clustal": _read_clustal,
+    "nexus": _read_nexus,
+}
