@@ -1,0 +1,110 @@
+"""Outside pass, theta-buffer derivatives, batched branch Newton."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iqtree_tpu.engine.derivatives import (
+    all_passes,
+    branch_lnl_derivs,
+    compute_thetas,
+    optimize_all_branches,
+    optimize_branch_mask,
+)
+from iqtree_tpu.engine.likelihood import (
+    ModelArrays,
+    SiteData,
+    TreeArrays,
+    compute_loglik,
+)
+from iqtree_tpu.io.alignment import read_alignment
+from iqtree_tpu.models.dna import create_dna_model
+from iqtree_tpu.models.rates import RateModel
+from iqtree_tpu.trees.tree import PhyloTree, random_tree
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def setup(n_taxa=10, seed=0, pinv=0.0):
+    rng = np.random.default_rng(seed)
+    seqs = ["".join(rng.choice(list("ACGT-"), 80)) for _ in range(n_taxa)]
+    names = [f"t{i}" for i in range(n_taxa)]
+    from iqtree_tpu.io.alignment import Alignment
+
+    aln = Alignment.from_sequences(names, seqs, "DNA")
+    subst = create_dna_model("GTR")
+    subst.state_freq = aln.state_frequencies()
+    subst.set_rate_param_vector(rng.uniform(0.5, 3.0, 5))
+    rate = RateModel.make(gamma_cats=4, invar=pinv > 0, p_invar=pinv, alpha=0.9)
+    tree = random_tree(n_taxa, rng)
+    ta = TreeArrays.from_tree(tree, jnp.float64)
+    ma = ModelArrays.from_model(subst, rate, jnp.float64)
+    sd = SiteData.from_alignment(aln, jnp.float64)
+    return ta, ma, sd
+
+
+def test_branch_lnl_consistency():
+    """Theta-based lnL for every branch equals the pruning lnL."""
+    ta, ma, sd = setup(pinv=0.15)
+    lnl_ref, _ = compute_loglik(ta, ma, sd)
+    up, us, out, os_, trans = all_passes(ta, ma, sd)
+    theta = compute_thetas(ta, ma, sd, up, us, out, os_)
+    lnl_all, d1, d2 = branch_lnl_derivs(theta, ma, sd, ta.blen)
+    mask = np.asarray(optimize_branch_mask(ta))
+    np.testing.assert_allclose(
+        np.asarray(lnl_all)[mask], float(lnl_ref), rtol=1e-9
+    )
+
+
+def test_derivatives_match_autodiff():
+    ta, ma, sd = setup(pinv=0.1)
+    up, us, out, os_, trans = all_passes(ta, ma, sd)
+    theta = compute_thetas(ta, ma, sd, up, us, out, os_)
+    _, d1, d2 = branch_lnl_derivs(theta, ma, sd, ta.blen)
+
+    def lnl_fn(blen):
+        lnl, _ = compute_loglik(ta.with_blen(blen), ma, sd)
+        return lnl
+
+    g = jax.grad(lnl_fn)(ta.blen)
+    h = jax.hessian(lnl_fn)(ta.blen)
+    mask = np.asarray(optimize_branch_mask(ta))
+    np.testing.assert_allclose(np.asarray(d1)[mask], np.asarray(g)[mask], rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(d2)[mask], np.diag(np.asarray(h))[mask], rtol=1e-6, atol=1e-8
+    )
+
+
+def test_optimize_all_branches_improves():
+    ta, ma, sd = setup(n_taxa=12, seed=5)
+    lnl0, _ = compute_loglik(ta, ma, sd)
+    t_opt, lnl = jax.jit(optimize_all_branches, static_argnames=())(ta, ma, sd)
+    assert float(lnl) > float(lnl0) + 1.0
+    # gradient at optimum ~ 0 for interior branches
+    up, us, out, os_, _ = all_passes(t_opt, ma, sd)
+    theta = compute_thetas(t_opt, ma, sd, up, us, out, os_)
+    _, d1, _ = branch_lnl_derivs(theta, ma, sd, t_opt.blen)
+    mask = np.asarray(optimize_branch_mask(ta))
+    blen = np.asarray(t_opt.blen)
+    interior = mask & (blen > 2e-6) & (blen < 99.0)
+    assert np.max(np.abs(np.asarray(d1)[interior])) < 0.5
+
+
+def test_golden_branch_opt():
+    """Reference: iqtree-omp -te golden_tree_44.nwk with fixed GTR+G model
+    optimizes branch lengths to lnL -13448.8386446 (.ckp.gz)."""
+    aln = read_alignment(os.path.join(DATA, "example.phy"))
+    tree = PhyloTree.from_newick(
+        open(os.path.join(DATA, "golden_tree_44.nwk")).read(), aln.names
+    )
+    subst = create_dna_model("GTR")
+    subst.group_rates = np.array([1.0, 1.5, 2.0, 0.8, 1.2, 3.0])
+    subst.state_freq = np.array([0.25, 0.26, 0.25, 0.24])
+    rate = RateModel.make(gamma_cats=4, alpha=0.5)
+    ta = TreeArrays.from_tree(tree, jnp.float64)
+    ma = ModelArrays.from_model(subst, rate, jnp.float64)
+    sd = SiteData.from_alignment(aln, jnp.float64)
+    t_opt, lnl = jax.jit(optimize_all_branches)(ta, ma, sd)
+    assert float(lnl) >= -13448.8386446 - 0.05, float(lnl)
