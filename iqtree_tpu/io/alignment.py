@@ -235,15 +235,34 @@ class Alignment:
     # -- derived quantities used by the engine/report --------------------
 
     def state_frequencies(self) -> np.ndarray:
-        """Empirical state frequencies (+F), counting ambiguous characters
-        fractionally (reference computeStateFreq distributes via appearance)."""
-        masks = self.states.code_masks[self.patterns]  # [taxa, ptn, S]
-        w = masks / masks.sum(axis=2, keepdims=True)
-        freq = (w * self.pattern_freq[None, :, None]).sum(axis=(0, 1))
-        freq = freq / freq.sum()
-        # avoid zero frequencies like the reference (modelgtr.cpp ensures >0)
-        freq = np.maximum(freq, 1e-10)
-        return freq / freq.sum()
+        """Empirical state frequencies (+F), matching the reference's
+        EM-style estimator: 8 rounds of distributing each (possibly
+        ambiguous) character over its consistent states in proportion to
+        the current frequency estimate, then flooring at MIN_FREQUENCY
+        with re-normalization onto the largest state
+        (Alignment::computeStateFreq + convfreq,
+        /root/reference/alignment.cpp:2714-2784)."""
+        S = self.num_states
+        masks = self.states.code_masks  # [codes, S]
+        counts = np.bincount(
+            self.patterns.ravel(),
+            weights=np.broadcast_to(
+                self.pattern_freq, self.patterns.shape
+            ).ravel(),
+            minlength=masks.shape[0],
+        )
+        freq = np.full(S, 1.0 / S)
+        for _ in range(8):
+            w = freq[None, :] * masks  # [codes, S]
+            w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-300)
+            new = (w * counts[:, None]).sum(axis=0)
+            freq = new / new.sum()
+        # convfreq: floor + dump the residual onto the most frequent state
+        min_freq = 1e-4
+        below = freq < min_freq
+        freq[below] = min_freq
+        freq[np.argmax(freq)] += 1.0 - freq.sum()
+        return freq
 
     def frac_const_sites(self) -> float:
         isconst = self._const_state >= 0

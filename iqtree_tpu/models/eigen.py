@@ -36,6 +36,34 @@ def build_rate_matrix(sym_rates: jnp.ndarray, freq: jnp.ndarray) -> jnp.ndarray:
     return q / mean_rate
 
 
+@jax.custom_jvp
+def safe_eigh(b: jnp.ndarray):
+    """eigh with degenerate-safe derivatives.
+
+    Plain eigh's JVP divides by eigenvalue gaps and yields NaN at (exact)
+    degeneracies — e.g. the F81/JC structure where all rates are equal
+    (triple eigenvalue), which is the *starting point* of every GTR
+    optimization.  Downstream we only use V diag(f(lam)) V^-1, which is
+    invariant under rotations inside an eigenspace, so zeroing the
+    degenerate cross-terms gives the correct gradient."""
+    return jnp.linalg.eigh(b)
+
+
+@safe_eigh.defjvp
+def _safe_eigh_jvp(primals, tangents):
+    (b,) = primals
+    (db,) = tangents
+    lam, u = jnp.linalg.eigh(b)
+    m = u.T @ db @ u
+    dlam = jnp.diagonal(m)
+    diff = lam[None, :] - lam[:, None]  # diff[i,j] = lam_j - lam_i
+    scale = jnp.maximum(jnp.max(jnp.abs(lam)), 1e-30)
+    degenerate = jnp.abs(diff) < 1e-9 * scale
+    f = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, diff))
+    du = u @ (f * m)
+    return (lam, u), (dlam, du)
+
+
 def eigen_reversible(sym_rates: jnp.ndarray, freq: jnp.ndarray):
     """Eigendecomposition of the normalized reversible Q.
 
@@ -46,7 +74,7 @@ def eigen_reversible(sym_rates: jnp.ndarray, freq: jnp.ndarray):
     sqrt_pi = jnp.sqrt(freq)
     b = q * (sqrt_pi[:, None] / sqrt_pi[None, :])
     b = 0.5 * (b + b.T)  # enforce exact symmetry
-    lam, u = jnp.linalg.eigh(b)
+    lam, u = safe_eigh(b)
     v = u / sqrt_pi[:, None]
     vinv = u.T * sqrt_pi[None, :]
     return lam, v, vinv

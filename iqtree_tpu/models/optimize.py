@@ -1,0 +1,246 @@
+"""Model-parameter packing and joint optimization.
+
+TPU-native replacement for ModelFactory::optimizeParameters
+(/root/reference/model/modelfactory.cpp:707-1000): instead of alternating
+per-parameter Brent / BFGS / EM loops, all free model parameters are
+mapped to one unconstrained pytree and optimized by L-BFGS with exact
+autodiff gradients (through the custom-VJP likelihood, the differentiable
+eigendecomposition, and the differentiable Gamma quadrature); branch
+lengths are interleaved via the batched Newton sweeps.
+
+Unconstrained parameterization (replacing the reference's box bounds,
+modelgtr.cpp setBounds / rategamma MIN/MAX_GAMMA_SHAPE):
+  exchangeabilities  r_g = exp(x)            (reference bounds [1e-4, 100])
+  frequencies        pi = softmax(x) floored at MIN_FREQ
+  gamma shape        alpha = clip(exp(x), 0.02, 100)
+  p_invar            p = sigmoid(x) * max_pinv  (max = fraction const sites)
+  free rates (+R)    r = exp(x), w = softmax(y), renormalized to mean 1
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.derivatives import optimize_all_branches
+from ..engine.grad import loglik
+from ..engine.likelihood import ModelArrays, SiteData, TreeArrays
+from ..utils.gamma_jax import discrete_gamma_rates_jax
+from ..utils.lbfgs import lbfgs_minimize
+from .eigen import eigen_reversible
+from .rates import MAX_GAMMA_SHAPE, MIN_GAMMA_SHAPE, RateModel
+from .subst import FREQ_ESTIMATE, ReversibleModel, pair_index
+
+MIN_FREQ = 1e-4
+
+
+@dataclass
+class ModelOptimizer:
+    """Builds ModelArrays from an unconstrained parameter pytree.
+
+    Host-side constructor captures the static structure (which parameters
+    are free, index arrays); `build` is pure/jit-traceable."""
+
+    subst: ReversibleModel
+    rate: RateModel
+    dtype: object = jnp.float64
+
+    def __post_init__(self):
+        s = self.subst
+        self.opt_rates = (not s.fixed_rates) and s.rate_groups is not None and s.n_rate_params > 0
+        self.opt_freq = s.freq_type == FREQ_ESTIMATE
+        self.opt_alpha = self.rate.has_gamma and not self.rate.fix_alpha
+        self.opt_pinv = self.rate.has_invar and not self.rate.fix_p_invar
+        self.opt_free = self.rate.is_free_rate
+        self.max_pinv = 0.999  # caller may tighten to frac_const_sites
+        # static scatter indices for the exchangeability matrix
+        S = s.num_states
+        pairs = pair_index(S)
+        self.pair_i = np.array([i for i, j in pairs])
+        self.pair_j = np.array([j for i, j in pairs])
+
+    # -- packing -------------------------------------------------------
+    def init_params(self) -> Dict[str, jnp.ndarray]:
+        p: Dict[str, jnp.ndarray] = {}
+        dt = self.dtype
+        if self.opt_rates:
+            p["log_rates"] = jnp.asarray(
+                np.log(np.maximum(self.subst.group_rates[1:], 1e-4)), dtype=dt
+            )
+        if self.opt_freq:
+            p["freq_logits"] = jnp.asarray(
+                np.log(np.maximum(self.subst.state_freq, MIN_FREQ)), dtype=dt
+            )
+        if self.opt_alpha:
+            # alpha = MIN + (MAX-MIN)*sigmoid(x): soft bounds keep a live
+            # gradient at the rails (hard clip strands L-BFGS there)
+            a0 = np.clip(
+                (self.rate.alpha - MIN_GAMMA_SHAPE)
+                / (MAX_GAMMA_SHAPE - MIN_GAMMA_SHAPE),
+                1e-6,
+                1 - 1e-6,
+            )
+            p["alpha_logit"] = jnp.asarray(np.log(a0 / (1 - a0)), dtype=dt)
+        if self.opt_pinv:
+            p0 = np.clip(self.rate.p_invar / self.max_pinv, 1e-4, 1 - 1e-4)
+            p["logit_pinv"] = jnp.asarray(np.log(p0 / (1 - p0)), dtype=dt)
+        if self.opt_free:
+            p["log_free_rates"] = jnp.asarray(
+                np.log(np.maximum(self.rate.free_rates, 1e-6)), dtype=dt
+            )
+            p["free_logits"] = jnp.asarray(
+                np.log(np.maximum(self.rate.free_props, 1e-6)), dtype=dt
+            )
+        return p
+
+    # -- building ------------------------------------------------------
+    def build(self, params: Dict[str, jnp.ndarray]) -> ModelArrays:
+        dt = self.dtype
+        S = self.subst.num_states
+        # exchangeabilities
+        if self.subst.exchange is not None:
+            sym = jnp.asarray(self.subst.exchange, dtype=dt)
+        else:
+            if self.opt_rates:
+                group_rates = jnp.concatenate(
+                    [jnp.ones((1,), dt), jnp.exp(params["log_rates"])]
+                )
+            else:
+                group_rates = jnp.asarray(self.subst.group_rates, dtype=dt)
+            pair_rates = group_rates[jnp.asarray(self.subst.rate_groups)]
+            sym = jnp.zeros((S, S), dt)
+            sym = sym.at[self.pair_i, self.pair_j].set(pair_rates)
+            sym = sym + sym.T
+        # frequencies
+        if self.opt_freq:
+            freq = jax.nn.softmax(params["freq_logits"])
+            freq = jnp.maximum(freq, MIN_FREQ)
+            freq = freq / freq.sum()
+        else:
+            freq = jnp.asarray(self.subst.state_freq, dtype=dt)
+        lam, v, vinv = eigen_reversible(sym, freq)
+        # rate heterogeneity
+        if self.opt_pinv:
+            pinv = jax.nn.sigmoid(params["logit_pinv"]) * self.max_pinv
+        else:
+            pinv = jnp.asarray(self.rate.p_invar, dtype=dt)
+        C = self.rate.ncat
+        if self.rate.has_gamma:
+            if self.opt_alpha:
+                alpha = MIN_GAMMA_SHAPE + (
+                    MAX_GAMMA_SHAPE - MIN_GAMMA_SHAPE
+                ) * jax.nn.sigmoid(params["alpha_logit"])
+            else:
+                alpha = jnp.asarray(self.rate.alpha, dtype=dt)
+            rates = discrete_gamma_rates_jax(alpha, C, pinv).astype(dt)
+            props = jnp.full((C,), 1.0, dt) * (1.0 - pinv) / C
+        elif self.opt_free:
+            r = jnp.exp(params["log_free_rates"])
+            w = jax.nn.softmax(params["free_logits"]) * (1.0 - pinv)
+            mean = jnp.sum(r * w) + pinv * 0.0  # invariant sites have rate 0
+            rates = r / jnp.maximum(mean, 1e-8)
+            props = w
+        else:
+            rates = jnp.ones((1,), dt)
+            props = jnp.ones((1,), dt) * (1.0 - pinv)
+        return ModelArrays(
+            eigenvalues=lam.astype(dt),
+            eigvec=v.astype(dt),
+            inv_eigvec=vinv.astype(dt),
+            state_freq=freq.astype(dt),
+            rates=rates,
+            props=props,
+            p_invar=jnp.asarray(pinv, dtype=dt),
+        )
+
+    # -- write-back for reporting --------------------------------------
+    def unpack(self, params: Dict[str, jnp.ndarray]) -> Tuple[ReversibleModel, RateModel]:
+        s, r = self.subst, self.rate
+        if self.opt_rates:
+            s.set_rate_param_vector(np.exp(np.asarray(params["log_rates"])))
+        if self.opt_freq:
+            f = np.asarray(jax.nn.softmax(params["freq_logits"]))
+            f = np.maximum(f, MIN_FREQ)
+            s.state_freq = f / f.sum()
+        if self.opt_alpha:
+            r.alpha = float(
+                MIN_GAMMA_SHAPE
+                + (MAX_GAMMA_SHAPE - MIN_GAMMA_SHAPE)
+                * jax.nn.sigmoid(params["alpha_logit"])
+            )
+        if self.opt_pinv:
+            r.p_invar = float(
+                jax.nn.sigmoid(params["logit_pinv"]) * self.max_pinv
+            )
+        if self.opt_free:
+            rr = np.exp(np.asarray(params["log_free_rates"]))
+            ww = np.asarray(jax.nn.softmax(params["free_logits"]))
+            r.free_rates, r.free_props = rr, ww
+        return s, r
+
+    @property
+    def n_free_params(self) -> int:
+        return sum(np.size(v) for v in self.init_params().values())
+
+
+def fit_model_step(
+    opt: ModelOptimizer,
+    tree: TreeArrays,
+    site: SiteData,
+    params: Dict[str, jnp.ndarray],
+    max_iters: int = 60,
+):
+    """One L-BFGS solve of all model parameters (branch lengths fixed).
+    Jit-friendly; analogue of the model/rate halves of
+    ModelFactory::optimizeParameters."""
+    if not params:
+        ma = opt.build(params)
+        lnl, _ = loglik(tree, ma, site)
+        return params, lnl
+
+    def negloglik(p):
+        ma = opt.build(p)
+        lnl, _ = loglik(tree, ma, site)
+        return -lnl
+
+    p, val, _ = lbfgs_minimize(negloglik, params, max_iters=max_iters)
+    return p, -val
+
+
+def optimize_model_and_branches(
+    opt: ModelOptimizer,
+    tree: TreeArrays,
+    site: SiteData,
+    params: Optional[Dict[str, jnp.ndarray]] = None,
+    rounds: int = 10,
+    tol: float = 0.01,
+    branch_sweeps: int = 100,
+    model_iters: int = 60,
+):
+    """Alternating (model L-BFGS | branch Newton) until lnL gain < tol,
+    mirroring the reference's alternation loop (modelfactory.cpp:937).
+    Host-side loop over two jitted device steps.  Returns
+    (tree, params, lnl)."""
+    if params is None:
+        params = opt.init_params()
+
+    def _round(t, p):
+        p, _ = fit_model_step(opt, t, site, p, model_iters)
+        ma = opt.build(p)
+        t, lnl = optimize_all_branches(t, ma, site, n_sweeps=branch_sweeps)
+        return t, p, lnl
+
+    round_jit = jax.jit(_round)
+
+    lnl_prev = -np.inf
+    lnl = -np.inf
+    for it in range(rounds):
+        tree, params, lnl = round_jit(tree, params)
+        if float(lnl) - lnl_prev < tol and it > 0:
+            break
+        lnl_prev = float(lnl)
+    return tree, params, float(lnl)
