@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark: fixed-topology GTR+G4 model+branch fit, 1000 taxa x 10k sites.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (deterministic, seed 2024): a simulated 1000-taxon DNA alignment
+(GTR+G4, iqtree_tpu.utils.simulate.make_benchmark_alignment) with the true
+topology given; the task is the reference's `-te tree -m GTR+G` fixed-
+topology fit: optimize all 1997 branch lengths + 6 model parameters to
+convergence.  This exercises the full hot path (pruning passes, outside
+pass, theta Newton, custom-VJP gradients, L-BFGS).
+
+Baseline: IQ-TREE 1.4.3 (reference @ /root/reference, built with
+cmake -DIQTREE_FLAGS=omp, AVX kernels) on the same task/alignment with
+-nt 2 (this container exposes 2 CPU cores; the BASELINE.md "8-thread"
+configuration is not measurable here).  Measured wall time recorded in
+REF_SECONDS below (see /tmp/golden/bench_ref.log provenance).
+
+vs_baseline = reference_seconds / our_seconds  (>1 means faster).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_SECONDS = None  # filled in after the reference measurement completes
+REF_SECONDS_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+
+N_TAXA = 1000
+N_SITES = 10000
+SEED = 2024
+CACHE = "/tmp/iqtree_tpu_bench_data.npz"
+
+
+def load_workload():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from iqtree_tpu.io.alignment import Alignment
+
+    if os.path.exists(CACHE):
+        z = np.load(CACHE, allow_pickle=True)
+        names = list(z["names"])
+        seqs = list(z["seqs"])
+        tree_nwk = str(z["tree"])
+    else:
+        from iqtree_tpu.utils.simulate import make_benchmark_alignment
+
+        tree, names, seqs = make_benchmark_alignment(N_TAXA, N_SITES, SEED)
+        tree_nwk = tree.to_newick(names)
+        np.savez_compressed(CACHE, names=names, seqs=seqs, tree=tree_nwk)
+    aln = Alignment.from_sequences(names, seqs, "DNA")
+    return aln, tree_nwk
+
+
+def main():
+    t_setup = time.time()
+    import jax
+    import jax.numpy as jnp
+
+    aln, tree_nwk = load_workload()
+
+    from iqtree_tpu.engine.likelihood import SiteData, TreeArrays, compute_loglik
+    from iqtree_tpu.models.factory import parse_model_string
+    from iqtree_tpu.models.optimize import ModelOptimizer, optimize_model_and_branches
+    from iqtree_tpu.trees.tree import PhyloTree
+
+    dtype = jnp.float32
+    tree = PhyloTree.from_newick(tree_nwk, aln.names)
+    subst, rate = parse_model_string("GTR+G", aln)
+    opt = ModelOptimizer(subst, rate, dtype=dtype)
+    site = SiteData.from_alignment(aln, dtype)
+    ta = TreeArrays.from_tree(tree, dtype)
+
+    # warm up compiles outside the timed region (the reference's binary is
+    # precompiled; we compare steady-state execution)
+    sys.stderr.write(f"setup {time.time()-t_setup:.1f}s; compiling...\n")
+    t_compile = time.time()
+    params0 = opt.init_params()
+    _ = optimize_model_and_branches(opt, ta, site, rounds=1, tol=1e9,
+                                    branch_sweeps=1, model_iters=1)
+    sys.stderr.write(f"compile+warmup {time.time()-t_compile:.1f}s\n")
+
+    t0 = time.time()
+    ta2, params, lnl = optimize_model_and_branches(
+        opt, ta, site, rounds=10, tol=0.01
+    )
+    our_seconds = time.time() - t0
+
+    # secondary throughput metric: full-tree lnL evaluations / sec
+    f = jax.jit(compute_loglik)
+    ma = jax.jit(opt.build)(params)
+    f(ta2, ma, site)[0].block_until_ready()
+    t1 = time.time()
+    K = 20
+    for _ in range(K):
+        out = f(ta2, ma, site)[0]
+    out.block_until_ready()
+    eval_sec = (time.time() - t1) / K
+    sites_per_sec = aln.n_sites / eval_sec
+
+    ref_seconds = REF_SECONDS
+    if ref_seconds is None and os.path.exists(REF_SECONDS_FILE):
+        ref_seconds = json.load(open(REF_SECONDS_FILE)).get("ref_seconds")
+    vs_baseline = (ref_seconds / our_seconds) if ref_seconds else None
+
+    sys.stderr.write(
+        f"fit lnL={float(lnl):.2f} in {our_seconds:.1f}s; "
+        f"lnl-eval {eval_sec*1000:.1f}ms ({sites_per_sec:.3g} sites/s); "
+        f"ref={ref_seconds}s\n"
+    )
+    print(json.dumps({
+        "metric": "fixed_tree_gtrg_fit_1000taxa_speedup",
+        "value": round(our_seconds, 2),
+        "unit": "seconds (lower better); vs_baseline = ref_sec/our_sec",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

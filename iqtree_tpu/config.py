@@ -1,0 +1,118 @@
+"""Run configuration and IQ-TREE-compatible command line.
+
+A typed subset of the reference's 500-field Params singleton + 357-branch
+parseArg (/root/reference/tools.h:420, tools.cpp parseArg), keeping the
+same flag names (-s -m -pre -t -te -blfix -seed -n -nt -bb -alrt ...) so
+reference command lines work unchanged for the features we support.
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class RunConfig:
+    aln_file: str = ""
+    seq_type: Optional[str] = None  # -st DNA/AA/BIN/MORPH
+    model: Optional[str] = None  # -m
+    prefix: Optional[str] = None  # -pre
+    user_tree: Optional[str] = None  # -t/-te file
+    fix_topology: bool = False  # -te given
+    fix_branch_lengths: bool = False  # -blfix / -fixbr
+    seed: int = 1  # -seed
+    n_iterations: Optional[int] = None  # -n (fixed)
+    unsuccess_iteration: int = 100  # -nstop
+    max_seconds: Optional[float] = None  # -maxtime (minutes in ref)
+    n_threads: int = 0  # -nt (0 = all devices)
+    write_site_lnl: bool = False  # -wsl
+    redo: bool = False  # -redo
+    quiet: bool = False  # -quiet
+    ufboot: int = 0  # -bb replicates
+    alrt: int = 0  # -alrt replicates
+    model_test: bool = False  # -m TEST/TESTONLY
+    model_test_only: bool = False
+    pers: float = 0.5  # -pers
+    n_init_trees: int = 20  # -ninit (reference 100)
+    n_top_init: int = 5  # -ntop (reference 20)
+    f64: bool = False  # --f64 : full double precision
+    float32: bool = True
+
+    @property
+    def out_prefix(self) -> str:
+        return self.prefix or self.aln_file
+
+
+def parse_args(argv) -> RunConfig:
+    p = argparse.ArgumentParser(
+        prog="iqtree-tpu",
+        description="TPU-native maximum-likelihood phylogenetic inference "
+        "(IQ-TREE-compatible interface)",
+    )
+    p.add_argument("-s", dest="aln_file", required=True, help="alignment file")
+    p.add_argument("-st", dest="seq_type", default=None,
+                   help="sequence type (DNA/AA/BIN/MORPH)")
+    p.add_argument("-m", dest="model", default=None,
+                   help="model string, e.g. GTR+G, HKY+I+G, LG+G, TEST")
+    p.add_argument("-pre", dest="prefix", default=None, help="output prefix")
+    p.add_argument("-t", dest="start_tree", default=None,
+                   help="starting tree file (topology may change)")
+    p.add_argument("-te", dest="user_tree", default=None,
+                   help="user tree file (fixed topology)")
+    p.add_argument("-blfix", "-fixbr", dest="fix_bl", action="store_true",
+                   help="fix branch lengths of the user tree")
+    p.add_argument("-seed", dest="seed", type=int, default=1)
+    p.add_argument("-n", dest="n_iterations", type=int, default=None,
+                   help="fixed number of search iterations")
+    p.add_argument("-nstop", dest="unsuccess", type=int, default=100)
+    p.add_argument("-maxtime", dest="maxtime", type=float, default=None,
+                   help="max wall time in minutes")
+    p.add_argument("-nt", dest="n_threads", type=int, default=0)
+    p.add_argument("-wsl", dest="wsl", action="store_true",
+                   help="write site log-likelihoods")
+    p.add_argument("-redo", dest="redo", action="store_true")
+    p.add_argument("-quiet", dest="quiet", action="store_true")
+    p.add_argument("-bb", dest="ufboot", type=int, default=0,
+                   help="ultrafast bootstrap replicates (>=1000)")
+    p.add_argument("-alrt", dest="alrt", type=int, default=0,
+                   help="SH-aLRT replicates")
+    p.add_argument("-pers", dest="pers", type=float, default=0.5)
+    p.add_argument("-ninit", dest="ninit", type=int, default=20)
+    p.add_argument("-ntop", dest="ntop", type=int, default=5)
+    p.add_argument("--f64", dest="f64", action="store_true",
+                   help="compute in float64 (slow on TPU; for parity runs)")
+    a = p.parse_args(argv)
+
+    model = a.model
+    model_test = model_test_only = False
+    if model in ("TEST", "TESTONLY"):
+        model_test = True
+        model_test_only = model == "TESTONLY"
+        model = None
+    return RunConfig(
+        aln_file=a.aln_file,
+        seq_type=a.seq_type,
+        model=model,
+        prefix=a.prefix,
+        user_tree=a.user_tree or a.start_tree,
+        fix_topology=a.user_tree is not None,
+        fix_branch_lengths=a.fix_bl,
+        seed=a.seed,
+        n_iterations=a.n_iterations,
+        unsuccess_iteration=a.unsuccess,
+        max_seconds=a.maxtime * 60 if a.maxtime else None,
+        n_threads=a.n_threads,
+        write_site_lnl=a.wsl,
+        redo=a.redo,
+        quiet=a.quiet,
+        ufboot=a.ufboot,
+        alrt=a.alrt,
+        model_test=model_test,
+        model_test_only=model_test_only,
+        pers=a.pers,
+        n_init_trees=a.ninit,
+        n_top_init=a.ntop,
+        f64=a.f64,
+    )

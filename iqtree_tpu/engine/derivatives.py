@@ -57,12 +57,17 @@ def downward_pass(
     up: jnp.ndarray,  # [2N-1, C, S, P] inside partials (scaled)
     up_scale: jnp.ndarray,  # [2N-1, P]
     state_freq: jnp.ndarray,  # [S]
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_d: bool = False,
+):
     """Pre-order sweep computing outside partials.
 
     Returns (outside O [2N-1,C,S,P], o_scale [2N-1,P]); O[v] is the
     outside partial at the *parent end* of the edge above v.  Entries for
     the root are unused (the root has no parent edge).
+
+    With with_d=True additionally returns (D, d_scale): D[v] is the
+    outside message expressed at v itself (transported through v's own
+    edge), needed by the NNI evaluator.
     """
     n_nodes = tree.n_nodes
     C, S, P = up.shape[1], up.shape[2], up.shape[3]
@@ -105,6 +110,8 @@ def downward_pass(
         return (o, os_, d, ds), None
 
     (o, os_, d, ds), _ = jax.lax.scan(step, (o, os_, d, ds), preorder)
+    if with_d:
+        return o, os_, d, ds
     return o, os_
 
 

@@ -110,6 +110,7 @@ def _loglik_bwd(res, cotangents):
     tree_bar = TreeArrays(
         postorder=_int_zero(tree.postorder),
         children=_int_zero(tree.children),
+        parent=_int_zero(tree.parent),
         blen=blen_bar,
     )
     site_bar = SiteData(

@@ -43,6 +43,7 @@ class TreeArrays(NamedTuple):
 
     postorder: jnp.ndarray  # [N-1] int32 internal nodes, root last
     children: jnp.ndarray  # [2N-1, 2] int32
+    parent: jnp.ndarray  # [2N-1] int32, -1 at root
     blen: jnp.ndarray  # [2N-1] float
 
     @property
@@ -58,11 +59,15 @@ class TreeArrays(NamedTuple):
         return cls(
             postorder=jnp.asarray(tree.postorder()),
             children=jnp.asarray(tree.children),
+            parent=jnp.asarray(tree.parent),
             blen=jnp.asarray(tree.blen, dtype=dtype),
         )
 
     def with_blen(self, blen: jnp.ndarray) -> "TreeArrays":
         return self._replace(blen=blen)
+
+    def parent_of(self, v):
+        return self.parent[v]
 
 
 class ModelArrays(NamedTuple):

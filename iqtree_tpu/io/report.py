@@ -1,0 +1,165 @@
+"""Analysis report writer (.iqtree / .treefile / .sitelh outputs).
+
+Mirrors the reference report (reportPhyloAnalysis,
+/root/reference/phyloanalysis.cpp:537-700: reportModel :170, reportRate
+:301, reportTree :343) closely enough for a reference user to find every
+section they expect.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from .. import __version__
+
+
+def _rate_matrix_section(subst) -> str:
+    S = subst.num_states
+    q = subst.rate_matrix()
+    out = ["Rate matrix Q:", ""]
+    names = _state_names(subst)
+    for i in range(S):
+        row = "  ".join(f"{q[i, j]:8.4f}" for j in range(S))
+        out.append(f"  {names[i]}  {row}")
+    out.append("")
+    return "\n".join(out)
+
+
+def _state_names(subst):
+    if subst.num_states == 4:
+        return list("ACGT")
+    if subst.num_states == 20:
+        return list("ARNDCQEGHILKMFPSTWYV")
+    return [str(i) for i in range(subst.num_states)]
+
+
+def write_report(
+    path: str,
+    aln,
+    subst,
+    rate,
+    tree,
+    lnl: float,
+    command: str,
+    wall_time: float,
+    iterations: int = 0,
+    extra_sections: Optional[list] = None,
+):
+    names = _state_names(subst)
+    L = []
+    L.append(f"IQ-TREE-TPU {__version__} — maximum-likelihood phylogenetic inference on TPU")
+    L.append("")
+    L.append(f"Command: {command}")
+    L.append(f"Date: {time.strftime('%a %b %d %H:%M:%S %Y')}")
+    L.append("")
+    L.append("SEQUENCE ALIGNMENT")
+    L.append("------------------")
+    L.append(f"Input data: {aln.n_taxa} sequences with {aln.n_sites} "
+             f"{_seqtype_name(aln)} sites")
+    L.append(f"Number of distinct site patterns: {aln.n_patterns}")
+    L.append(f"Number of constant sites: "
+             f"{int(round(aln.frac_const_sites() * aln.n_sites))} "
+             f"(= {aln.frac_const_sites() * 100:.4g}% of all sites)")
+    L.append(f"Number of parsimony informative sites: {aln.num_informative_sites()}")
+    L.append("")
+    L.append("SUBSTITUTION PROCESS")
+    L.append("--------------------")
+    L.append(f"Model of substitution: {subst.name}{rate.name_suffix()}")
+    L.append("")
+    if subst.num_states == 4 and subst.rate_groups is not None:
+        pairs = ["A-C", "A-G", "A-T", "C-G", "C-T", "G-T"]
+        r = subst.sym_rates()
+        idx = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        L.append("Rate parameter R:")
+        L.append("")
+        for nm, (i, j) in zip(pairs, idx):
+            L.append(f"  {nm}: {r[i, j]:.4f}")
+        L.append("")
+    L.append(f"State frequencies: ({_freq_desc(subst)})")
+    L.append("")
+    for n, f in zip(names, subst.state_freq):
+        L.append(f"  pi({n}) = {f:.4g}")
+    L.append("")
+    L.append(_rate_matrix_section(subst))
+    L.append("RATE HETEROGENEITY")
+    L.append("------------------")
+    if rate.has_gamma:
+        L.append(f"Model of rate heterogeneity: "
+                 f"{'Invar+' if rate.has_invar else ''}Gamma with {rate.ncat} categories")
+        L.append(f"Gamma shape alpha: {rate.alpha:.4g}")
+    elif rate.is_free_rate:
+        L.append(f"Model of rate heterogeneity: FreeRate with {rate.ncat} categories")
+    elif rate.has_invar:
+        L.append("Model of rate heterogeneity: Invariable sites")
+    else:
+        L.append("Model of rate heterogeneity: Uniform")
+    if rate.has_invar:
+        L.append(f"Proportion of invariable sites: {rate.p_invar:.4g}")
+    rates, props = rate.category_rates()
+    if len(rates) > 1 or rate.has_invar:
+        L.append("")
+        L.append(" Category  Relative_rate  Proportion")
+        if rate.has_invar:
+            L.append(f"  0         0              {rate.p_invar:.4g}")
+        for i, (r_, w_) in enumerate(zip(rates, props), 1):
+            L.append(f"  {i}         {r_:.4g}         {w_:.4g}")
+    L.append("")
+    L.append("MAXIMUM LIKELIHOOD TREE")
+    L.append("-----------------------")
+    L.append("")
+    L.append(f"Log-likelihood of the tree: {lnl:.4f}")
+    total_len = float(np.sum(tree.blen)) - float(tree.blen[tree.root])
+    L.append(f"Total tree length (sum of branch lengths): {total_len:.4f}")
+    L.append("")
+    L.append("Tree in newick format:")
+    L.append("")
+    L.append(tree.to_newick(aln.names))
+    L.append("")
+    if extra_sections:
+        for s in extra_sections:
+            L.append(s)
+            L.append("")
+    L.append("ANALYSIS INFO")
+    L.append("-------------")
+    L.append(f"Search iterations: {iterations}")
+    L.append(f"Wall-clock time used: {wall_time:.3f} sec")
+    L.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(L))
+
+
+def _seqtype_name(aln):
+    return {
+        "DNA": "nucleotide",
+        "AA": "amino-acid",
+        "BIN": "binary",
+        "MORPH": "morphological",
+    }.get(aln.states.seq_type, aln.states.seq_type)
+
+
+def _freq_desc(subst):
+    from ..models.subst import (
+        FREQ_EMPIRICAL,
+        FREQ_EQUAL,
+        FREQ_ESTIMATE,
+        FREQ_USER,
+    )
+
+    return {
+        FREQ_EMPIRICAL: "empirical counts from alignment",
+        FREQ_EQUAL: "equal frequencies",
+        FREQ_ESTIMATE: "estimated with maximum likelihood",
+        FREQ_USER: "user-defined",
+    }.get(subst.freq_type, subst.freq_type)
+
+
+def write_site_lnl(path: str, aln, pattern_lnl: np.ndarray):
+    """.sitelh file (reference -wsl format: one header line, then
+    'Site_Lh' + per-site values)."""
+    site_lnl = pattern_lnl[aln.site_to_pattern]
+    with open(path, "w") as f:
+        f.write(f"# Site log-likelihoods\n1 {aln.n_sites}\n")
+        f.write("Site_Lh   " + " ".join(f"{x:.5f}" for x in site_lnl) + "\n")

@@ -1,0 +1,191 @@
+"""Top-level stochastic tree search (the IQTree class equivalent).
+
+Mirrors runTreeReconstruction + IQTree::doTreeSearch
+(/root/reference/phyloanalysis.cpp:1611, iqtree.cpp:1834):
+
+  1. initial tree: BIONJ on batched pairwise ML distances
+  2. joint model-parameter + branch-length optimization (L-BFGS + Newton)
+  3. initial candidate set: random + perturbed variants, NNI-climbed
+  4. stochastic loop: pick a random candidate, perturb with random NNIs
+     (strength 0.5 like initPS, tools.cpp:865), NNI hill-climb, update
+     candidate set; stop after `unsuccess_iteration` non-improving rounds
+  5. final thorough model re-optimization on the best tree
+
+All heavy steps run as jitted device programs with topology as data, so
+the whole search reuses a handful of compiled executables.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.distances import ml_distances
+from ..engine.likelihood import ModelArrays, SiteData, TreeArrays
+from ..io.alignment import Alignment
+from ..models.factory import parse_model_string
+from ..models.optimize import ModelOptimizer, optimize_model_and_branches
+from ..trees.bionj import bionj_tree
+from ..trees.tree import PhyloTree, random_tree
+from .candidate_set import CandidateSet
+from .nni_search import NNIEngine
+from .stoprule import StopRule
+
+
+@dataclass
+class SearchParams:
+    model: str = "HKY+G"
+    seed: int = 1
+    n_init_trees: int = 20  # reference numInitTrees=100 (parsimony-based)
+    n_top_init: int = 5  # reference numNNITrees=20
+    pop_size: int = 5
+    max_candidates: int = 10
+    pers: float = 0.5  # perturbation strength (initPS, tools.cpp:865)
+    unsuccess_iteration: int = 100
+    fixed_iterations: Optional[int] = None
+    max_seconds: Optional[float] = None
+    dtype: object = jnp.float64
+    nni5: bool = True
+    start_tree: Optional[str] = None  # newick string (-t/-te)
+    log: Callable[[str], None] = print
+
+
+@dataclass
+class SearchResult:
+    best_tree: PhyloTree
+    best_lnl: float
+    subst: object
+    rate: object
+    iterations: int
+    wall_time: float
+    aln: Alignment
+    candidates: CandidateSet
+    model_opt: ModelOptimizer = None
+    params_vec: dict = None
+
+
+def random_nni_perturb(tree: PhyloTree, n_moves: int, rng: np.random.Generator):
+    """IQTree::doRandomNNIs (/root/reference/iqtree.cpp:1302)."""
+    for _ in range(n_moves):
+        edges = tree.internal_edges()
+        if len(edges) == 0:
+            return
+        v = int(edges[rng.integers(len(edges))])
+        tree.apply_nni(v, int(rng.integers(2)))
+
+
+def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
+    t_start = time.time()
+    rng = np.random.default_rng(params.seed)
+    log = params.log
+    dtype = params.dtype
+
+    subst, rate = parse_model_string(params.model, aln)
+    opt = ModelOptimizer(subst, rate, dtype=dtype)
+    site = SiteData.from_alignment(aln, dtype)
+    mparams = opt.init_params()
+
+    # ---- initial tree -------------------------------------------------
+    if params.start_tree:
+        tree = PhyloTree.from_newick(params.start_tree, aln.names, rng=rng)
+        log("Using user start tree")
+    else:
+        log("Computing ML pairwise distances + BIONJ start tree...")
+        ma0 = opt.build(mparams)
+        dist = np.asarray(jax.jit(ml_distances)(ma0, site))
+        tree = bionj_tree(dist)
+
+    # ---- model initialization on the start tree ----------------------
+    log("Optimizing model parameters on the start tree...")
+    ta = TreeArrays.from_tree(tree, dtype)
+    ta, mparams, lnl = optimize_model_and_branches(
+        opt, ta, site, params=mparams, rounds=10, tol=0.1
+    )
+    tree.blen = np.asarray(ta.blen, dtype=np.float64)
+    log(f"Start tree lnL: {lnl:.4f}")
+
+    model_arrays = jax.jit(opt.build)(mparams)
+    engine = NNIEngine(model_arrays, site, dtype=dtype, nni5=params.nni5)
+
+    # ---- initial candidate set ---------------------------------------
+    cand = CandidateSet(max_size=params.max_candidates, pop_size=params.pop_size)
+    res = engine.hill_climb(tree)
+    cand.update(res.tree, res.lnl)
+    best_lnl = res.lnl
+    best_tree = res.tree.copy()
+    log(f"BIONJ + NNI tree lnL: {res.lnl:.4f}")
+
+    n_taxa = aln.n_taxa
+    n_perturb = max(1, int(params.pers * (n_taxa - 3)))
+    init_variants: List[PhyloTree] = []
+    for i in range(params.n_init_trees - 1):
+        if i % 2 == 0:
+            t = best_tree.copy()
+            random_nni_perturb(t, n_perturb, rng)
+        else:
+            t = random_tree(n_taxa, rng)
+        init_variants.append(t)
+    # quick-score variants by branch-length optimization only
+    scored = []
+    for t in init_variants:
+        t, l = engine.optimize_branches(t, 20)
+        scored.append((l, t))
+    scored.sort(key=lambda e: -e[0])
+    for l, t in scored[: params.n_top_init]:
+        r = engine.hill_climb(t)
+        improved = cand.update(r.tree, r.lnl)
+        if r.lnl > best_lnl:
+            best_lnl, best_tree = r.lnl, r.tree.copy()
+    log(f"Initial candidate set done, best lnL: {best_lnl:.4f}")
+
+    # ---- stochastic search loop --------------------------------------
+    stop = StopRule(
+        unsuccess_iteration=params.unsuccess_iteration,
+        fixed_iterations=params.fixed_iterations,
+        max_seconds=params.max_seconds,
+    )
+    while not stop.should_stop():
+        t = cand.random_candidate(rng)
+        random_nni_perturb(t, n_perturb, rng)
+        r = engine.hill_climb(t)
+        improved = r.lnl > best_lnl + 1e-6
+        cand.update(r.tree, r.lnl)
+        if improved:
+            best_lnl, best_tree = r.lnl, r.tree.copy()
+            log(
+                f"BETTER TREE FOUND at iteration {stop.cur_iteration + 1}: "
+                f"{best_lnl:.4f}"
+            )
+        stop.iteration_done(improved)
+        if stop.cur_iteration % 10 == 0:
+            log(
+                f"Iteration {stop.cur_iteration} / LogL: {r.lnl:.3f} / "
+                f"best: {best_lnl:.3f} / {time.time() - t_start:.1f}s"
+            )
+
+    # ---- final model optimization on the best tree -------------------
+    log("Final model parameter optimization...")
+    ta = TreeArrays.from_tree(best_tree, dtype)
+    ta, mparams, best_lnl = optimize_model_and_branches(
+        opt, ta, site, params=mparams, rounds=15, tol=0.001
+    )
+    best_tree.blen = np.asarray(ta.blen, dtype=np.float64)
+    subst, rate = opt.unpack(mparams)
+    log(f"BEST SCORE FOUND: {best_lnl:.4f}")
+    return SearchResult(
+        best_tree=best_tree,
+        best_lnl=best_lnl,
+        subst=subst,
+        rate=rate,
+        iterations=stop.cur_iteration,
+        wall_time=time.time() - t_start,
+        aln=aln,
+        candidates=cand,
+        model_opt=opt,
+        params_vec=mparams,
+    )

@@ -1,0 +1,136 @@
+"""NNI hill climbing (host loop over batched device NNI evaluation).
+
+Faithful port of the reference's search *semantics* (IQTree::optimizeNNI,
+/root/reference/iqtree.cpp:2125-2279) with the per-branch evaluation
+replaced by the batched evaluator (engine/nni.py):
+
+  repeat (<= n_taxa steps):
+    evaluate all internal branches' NNIs at once (device)
+    positive = candidates beating the current score
+    apply the non-conflicting subset, best first (no shared endpoints,
+      genNonconfNNIs iqtree.cpp)
+    re-optimize all branch lengths (1-2 sweeps)
+    if joint result is worse than the best single NNI's estimate:
+      roll back and apply only the best one (reference rollback branch)
+    stop when gain < 0.1 or no positive NNI
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.derivatives import optimize_all_branches
+from ..engine.likelihood import ModelArrays, SiteData, TreeArrays
+from ..engine.nni import evaluate_nnis
+from ..trees.tree import PhyloTree
+
+LOGL_EPSILON = 0.001  # params.loglh_epsilon default (tools.cpp:743)
+
+
+@dataclass
+class NNISearchResult:
+    tree: PhyloTree
+    lnl: float
+    nni_count: int
+    steps: int
+
+
+class NNIEngine:
+    """Holds jitted device functions for one (model, alignment) context."""
+
+    def __init__(self, model: ModelArrays, site: SiteData, dtype=jnp.float64,
+                 nni5: bool = True):
+        self.model = model
+        self.site = site
+        self.dtype = dtype
+        self._eval = jax.jit(
+            lambda t, m, edges: evaluate_nnis(t, m, self.site, edges, nni5=nni5)
+        )
+        self._brlen = jax.jit(
+            lambda t, m, n: optimize_all_branches(t, m, self.site, n_sweeps=n),
+            static_argnames=("n",),
+        )
+
+    def arrays(self, tree: PhyloTree) -> TreeArrays:
+        return TreeArrays.from_tree(tree, self.dtype)
+
+    def optimize_branches(
+        self, tree: PhyloTree, n_sweeps: int = 100
+    ) -> Tuple[PhyloTree, float]:
+        ta, lnl = self._brlen(self.arrays(tree), self.model, n_sweeps)
+        tree.blen = np.asarray(ta.blen, dtype=np.float64)
+        return tree, float(lnl)
+
+    def hill_climb(
+        self,
+        tree: PhyloTree,
+        max_steps: Optional[int] = None,
+        on_tree: Optional[Callable[[PhyloTree, float], None]] = None,
+    ) -> NNISearchResult:
+        """on_tree: called with every intermediate (tree, lnl) — the UFBoot
+        saveCurrentTree hook (iqtree.cpp:2136)."""
+        n_taxa = tree.n_taxa
+        max_steps = max_steps or n_taxa
+        tree, cur = self.optimize_branches(tree, 100)
+        nni_count = 0
+        steps = 0
+        for step in range(1, max_steps + 1):
+            steps = step
+            old = cur
+            if on_tree is not None:
+                on_tree(tree, cur)
+            edges = tree.internal_edges()
+            if len(edges) == 0:
+                break
+            ev = self._eval(self.arrays(tree), self.model, jnp.asarray(edges))
+            lnls = np.asarray(ev.lnl)
+            centers = np.asarray(ev.center_blen)
+            delta = lnls - cur
+            pos = np.argwhere(delta > LOGL_EPSILON)
+            if len(pos) == 0:
+                break
+            order = pos[np.argsort(-delta[pos[:, 0], pos[:, 1]])]
+            # non-conflicting: no shared endpoint nodes {v, parent(v)}
+            chosen: List[Tuple[int, int]] = []
+            used = set()
+            for k, s in order:
+                v = int(edges[k])
+                u = int(tree.parent[v])
+                if v in used or u in used:
+                    continue
+                used.update((v, u))
+                chosen.append((k, int(s)))
+            best_k, best_s = chosen[0]
+            best_est = lnls[best_k, best_s]
+
+            def apply_set(tr: PhyloTree, picks):
+                for k, s in picks:
+                    v = int(edges[k])
+                    tr.apply_nni(v, s)
+                    tr.blen[v] = centers[k, s]
+                return tr
+
+            trial = apply_set(tree.copy(), chosen)
+            trial, new_lnl = self.optimize_branches(trial, 2)
+            if new_lnl >= best_est - LOGL_EPSILON:
+                tree, cur = trial, new_lnl
+                nni_count += len(chosen)
+            else:
+                # rollback: apply only the best NNI (iqtree.cpp:2246-2276)
+                trial = apply_set(tree.copy(), [chosen[0]])
+                trial, new_lnl = self.optimize_branches(trial, 2)
+                if new_lnl >= cur - LOGL_EPSILON:
+                    tree, cur = trial, new_lnl
+                    nni_count += 1
+                else:
+                    break
+            if cur - old < 0.1:
+                break
+        # final full branch optimization
+        tree, cur = self.optimize_branches(tree, 100)
+        return NNISearchResult(tree=tree, lnl=cur, nni_count=nni_count, steps=steps)

@@ -1,0 +1,66 @@
+"""End-to-end stochastic search smoke tests (small, fast)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from iqtree_tpu.io.alignment import Alignment
+from iqtree_tpu.search.driver import SearchParams, run_search
+from iqtree_tpu.trees.tree import random_tree
+
+
+def _simulate(n_taxa=8, n_sites=300, seed=0):
+    """Sequences evolved down a random tree under JC so the search has a
+    recoverable signal."""
+    rng = np.random.default_rng(seed)
+    tree = random_tree(n_taxa, rng, mean_blen=0.15)
+    S = 4
+    root = tree.root
+    states = {root: rng.integers(0, S, n_sites)}
+    for v in reversed(tree.postorder()):
+        for child in tree.children[v]:
+            child = int(child)
+            t = tree.blen[child]
+            p_same = 0.25 + 0.75 * np.exp(-4.0 / 3.0 * t)
+            stay = rng.uniform(size=n_sites) < p_same
+            new = rng.integers(0, S, n_sites)
+            states[child] = np.where(stay, states[v], new)
+            if child >= tree.n_taxa:
+                pass
+    chars = np.array(list("ACGT"))
+    seqs = ["".join(chars[states[i]]) for i in range(n_taxa)]
+    return tree, Alignment.from_sequences(
+        [f"t{i}" for i in range(n_taxa)], seqs, "DNA"
+    )
+
+
+def test_search_recovers_tree():
+    true_tree, aln = _simulate()
+    p = SearchParams(
+        model="JC",
+        seed=3,
+        fixed_iterations=3,
+        n_init_trees=4,
+        n_top_init=2,
+        log=lambda s: None,
+    )
+    res = run_search(aln, p)
+    assert np.isfinite(res.best_lnl)
+    res.best_tree.check()
+    # the ML tree may legitimately differ from the simulation tree on a
+    # short internal branch; the search result must instead be at least
+    # as good as the fully optimized TRUE tree
+    from iqtree_tpu.engine.derivatives import optimize_all_branches
+    from iqtree_tpu.engine.likelihood import ModelArrays, SiteData, TreeArrays
+    from iqtree_tpu.models.factory import parse_model_string
+
+    subst, rate = parse_model_string("JC", aln)
+    ma = ModelArrays.from_model(subst, rate, jnp.float64)
+    sd = SiteData.from_alignment(aln, jnp.float64)
+    _, true_lnl = optimize_all_branches(
+        TreeArrays.from_tree(true_tree, jnp.float64), ma, sd
+    )
+    assert res.best_lnl >= float(true_lnl) - 0.01, (res.best_lnl, float(true_lnl))
+    assert res.best_tree.robinson_foulds(true_tree) <= 2
+    # round-trip newick
+    nwk = res.best_tree.to_newick(aln.names)
+    assert nwk.endswith(";") and "t0" in nwk
