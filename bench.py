@@ -78,9 +78,8 @@ def main():
     # precompiled; we compare steady-state execution)
     sys.stderr.write(f"setup {time.time()-t_setup:.1f}s; compiling...\n")
     t_compile = time.time()
-    params0 = opt.init_params()
-    _ = optimize_model_and_branches(opt, ta, site, rounds=1, tol=1e9,
-                                    branch_sweeps=1, model_iters=1)
+    # same loop sizes as the timed run so the jit cache is warm
+    _ = optimize_model_and_branches(opt, ta, site, rounds=1, tol=1e9)
     sys.stderr.write(f"compile+warmup {time.time()-t_compile:.1f}s\n")
 
     t0 = time.time()

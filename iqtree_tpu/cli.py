@@ -42,6 +42,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     log(f"IQ-TREE-TPU {__version__} starting: {command}")
     log(f"Devices: {jax.devices()}")
 
+    # checkpoint gate (reference: pda.cpp:2187-2210)
+    from .utils.checkpoint import Checkpoint
+
+    ckp = Checkpoint(prefix + ".ckp.gz")
+    if ckp.load():
+        if ckp.is_finished("all") and not cfg.redo:
+            log(
+                f"Checkpoint ({ckp.path}) indicates a finished run; use "
+                "-redo to overwrite."
+            )
+            return 2
+        if cfg.redo:
+            ckp.data = {}
+        else:
+            log(f"Resuming from checkpoint {ckp.path}")
+    ckp.put("command", command)
+
     from .io.alignment import read_alignment
 
     aln = read_alignment(cfg.aln_file, seq_type=cfg.seq_type)
@@ -70,16 +87,64 @@ def main(argv: Optional[List[str]] = None) -> int:
     if cfg.fix_topology:
         result = _run_fixed_topology(cfg, aln, model_str, dtype, log)
     else:
-        result = _run_search(cfg, aln, model_str, dtype, log)
+        result = _run_search(cfg, aln, model_str, dtype, log, ckp)
 
-    tree, subst, rate, lnl, iters, pattern_lnl = result
+    tree, subst, rate, lnl, iters, pattern_lnl, ufboot = result
 
-    if cfg.ufboot > 0 and not cfg.fix_topology:
-        log("NOTE: UFBoot support records during search; see .splits.nex")
+    # ---- branch tests (-alrt, phylotree.cpp:4058 testAllBranches) ----
+    alrt_labels = None
+    if cfg.alrt > 0:
+        import jax
+
+        from .engine.branch_tests import test_all_branches
+        from .engine.likelihood import SiteData, TreeArrays
+        from .models.factory import parse_model_string
+        from .models.optimize import ModelOptimizer
+
+        log(f"Testing branches with SH-aLRT ({cfg.alrt} replicates)...")
+        subst2, rate2 = subst, rate
+        opt2 = ModelOptimizer(subst2, rate2, dtype=dtype)
+        ma2 = jax.jit(opt2.build)(opt2.init_params())
+        bt = test_all_branches(
+            TreeArrays.from_tree(tree, dtype),
+            ma2,
+            SiteData.from_alignment(aln, dtype),
+            pattern_lnl,
+            lnl,
+            aln.n_sites,
+            reps=cfg.alrt,
+            rng=np.random.default_rng(cfg.seed),
+            host_tree=tree,
+        )
+        alrt_labels = bt.labels(sh=True, abayes=False)
 
     # ---- outputs -----------------------------------------------------
+    support = None
+    if ufboot is not None:
+        support = ufboot.supports_for(tree)
+        ufboot.write_ufboot(prefix + ".ufboot", aln.names)
+        ufboot.write_splits_nex(prefix + ".splits.nex", aln.names)
+        contree = ufboot.consensus()
+        with open(prefix + ".contree", "w") as f:
+            f.write(
+                contree.to_newick(
+                    aln.names, support=ufboot.supports_for(contree)
+                )
+                + "\n"
+            )
+        log(f"  UFBoot trees:                  {prefix}.ufboot")
+        log(f"  Split support values:          {prefix}.splits.nex")
+        log(f"  Consensus tree:                {prefix}.contree")
+    if alrt_labels is not None and support is not None:
+        # reference label order: SH-aLRT/UFboot
+        support = {
+            v: f"{alrt_labels.get(v, '')}/{support.get(v, '')}"
+            for v in set(alrt_labels) | set(support)
+        }
+    elif alrt_labels is not None:
+        support = alrt_labels
     with open(prefix + ".treefile", "w") as f:
-        f.write(tree.to_newick(aln.names) + "\n")
+        f.write(tree.to_newick(aln.names, support=support) + "\n")
     from .io.report import write_report, write_site_lnl
 
     write_report(
@@ -101,6 +166,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     log(f"  IQ-TREE report:                {prefix}.iqtree")
     log(f"  Maximum-likelihood tree:       {prefix}.treefile")
     log(f"  Screen log file:               {prefix}.log")
+    ckp.mark_finished("all")
+    ckp.dump(force=True)
     _finish(prefix, log_lines, t0, log)
     return 0
 
@@ -136,15 +203,15 @@ def _run_fixed_topology(cfg, aln, model_str, dtype, log):
         log(f"Optimal log-likelihood: {float(lnl):.4f}")
     else:
         ta, params, lnl = optimize_model_and_branches(opt, ta, site, tol=0.001)
-        tree.blen = np.asarray(ta.blen, dtype=np.float64)
+        tree.blen = ta.host_blen()
         log(f"Optimal log-likelihood: {float(lnl):.4f}")
     subst, rate = opt.unpack(params)
     ma = jax.jit(opt.build)(params)
     _, pattern_lnl = jax.jit(loglik)(ta, ma, site)
-    return tree, subst, rate, float(lnl), 0, np.asarray(pattern_lnl)
+    return tree, subst, rate, float(lnl), 0, np.asarray(pattern_lnl), None
 
 
-def _run_search(cfg, aln, model_str, dtype, log):
+def _run_search(cfg, aln, model_str, dtype, log, ckp=None):
     import jax
 
     from .engine.grad import loglik
@@ -163,6 +230,8 @@ def _run_search(cfg, aln, model_str, dtype, log):
         dtype=dtype,
         start_tree=open(cfg.user_tree).read() if cfg.user_tree else None,
         log=log,
+        ufboot=cfg.ufboot,
+        checkpoint=ckp,
     )
     res = run_search(aln, sp)
     site = SiteData.from_alignment(aln, dtype)
@@ -176,6 +245,7 @@ def _run_search(cfg, aln, model_str, dtype, log):
         res.best_lnl,
         res.iterations,
         np.asarray(pattern_lnl),
+        res.ufboot,
     )
 
 

@@ -53,63 +53,85 @@ MAX_BLEN = 100.0
 
 def downward_pass(
     tree: TreeArrays,
-    trans: jnp.ndarray,  # [2N-1, C, S, S]
-    up: jnp.ndarray,  # [2N-1, C, S, P] inside partials (scaled)
-    up_scale: jnp.ndarray,  # [2N-1, P]
+    trans: jnp.ndarray,  # [2N, C, S, S] (device numbering)
+    mb: jnp.ndarray,  # [2N+W, 2, C, S, P] upward message mailbox
+    msc: jnp.ndarray,  # [2N+W, 2, P] mailbox log-scales
     state_freq: jnp.ndarray,  # [S]
     with_d: bool = False,
 ):
-    """Pre-order sweep computing outside partials.
+    """Reverse sweep computing outside partials (mailbox dataflow).
 
-    Returns (outside O [2N-1,C,S,P], o_scale [2N-1,P]); O[v] is the
+    Returns (outside O [2N+W,C,S,P], o_scale [2N+W,P]); O[v] is the
     outside partial at the *parent end* of the edge above v.  Entries for
-    the root are unused (the root has no parent edge).
+    the root and padding are zero.
 
     With with_d=True additionally returns (D, d_scale): D[v] is the
     outside message expressed at v itself (transported through v's own
     edge), needed by the NNI evaluator.
-    """
-    n_nodes = tree.n_nodes
-    C, S, P = up.shape[1], up.shape[2], up.shape[3]
-    dtype = up.dtype
-    root = tree.postorder[-1]
 
-    o = jnp.zeros((n_nodes, C, S, P), dtype=dtype)
-    os_ = jnp.zeros((n_nodes, P), dtype=dtype)
-    # D[u]: outside partial at u itself (state at u).  D[root] = pi.
-    d = jnp.zeros((n_nodes, C, S, P), dtype=dtype)
-    ds = jnp.zeros((n_nodes, P), dtype=dtype)
+    Each reversed schedule row u reads its own D (pushed by its parent
+    earlier, scatter write) and BOTH child messages from the upward
+    mailbox at its own contiguous index (dynamic slice): no gathers from
+    the loop carry, so the buffers update in-place.
+    """
+    from .likelihood import SCHED_WIDTH, pad_trans
+
+    W = SCHED_WIDTH
+    n_slots = tree.n_slots
+    C, S, P = trans.shape[1], trans.shape[2], mb.shape[4]
+    dtype = trans.dtype
+    root = tree.root
+    dummy = tree.dummy
+
+    trans_p = pad_trans(trans, W)
+    children_p = jnp.concatenate(
+        [tree.children, jnp.full((W, 2), dummy, tree.children.dtype)]
+    )
+
+    o = jnp.zeros((n_slots + W, C, S, P), dtype=dtype)
+    os_ = jnp.zeros((n_slots + W, P), dtype=dtype)
+    d = jnp.zeros((n_slots + W, C, S, P), dtype=dtype)
+    ds = jnp.zeros((n_slots + W, P), dtype=dtype)
     d = d.at[root].set(
         jnp.broadcast_to(state_freq[None, :, None], (C, S, P)).astype(dtype)
     )
 
-    preorder = tree.postorder[::-1]  # parents before children
-
-    def step(carry, u):
+    def row_step(j, carry):
         o, os_, d, ds = carry
-        l = tree.children[u, 0]
-        r = tree.children[u, 1]
-        ml = jnp.einsum("cst,ctp->csp", trans[l], up[l], precision=HIGHEST)
-        mr = jnp.einsum("cst,ctp->csp", trans[r], up[r], precision=HIGHEST)
-        du, dsu = d[u], ds[u]
+        i = tree.n_rows - 1 - j  # reverse level order: parents first
+        s = tree.row_start[i]
+        ln = tree.row_len[i]
+        z = jnp.zeros((), s.dtype)
+        du = jax.lax.dynamic_slice(d, (s, z, z, z), (W, C, S, P))
+        dsu = jax.lax.dynamic_slice(ds, (s, z), (W, P))
+        blk = jax.lax.dynamic_slice(mb, (s, z, z, z, z), (W, 2, C, S, P))
+        sbk = jax.lax.dynamic_slice(msc, (s, z, z), (W, 2, P))
+        ml, mr = blk[:, 0], blk[:, 1]
+        sml, smr = sbk[:, 0], sbk[:, 1]
 
         def out_for(m_sib, sib_scale):
             y = du * m_sib
-            mx = jnp.maximum(jnp.max(y, axis=(0, 1)), SCALE_TINY)
-            return y / mx, dsu + sib_scale + jnp.log(mx)
+            mx = jnp.maximum(jnp.max(y, axis=(1, 2)), SCALE_TINY)  # [W,P]
+            return y / mx[:, None, None, :], dsu + sib_scale + jnp.log(mx)
 
-        ol, ol_s = out_for(mr, up_scale[r])
-        or_, or_s = out_for(ml, up_scale[l])
+        ol, ol_s = out_for(mr, smr)
+        or_, or_s = out_for(ml, sml)
+        valid = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0] < ln
+        ch = jax.lax.dynamic_slice(children_p, (s, z), (W, 2))
+        l = jnp.where(valid, ch[:, 0], dummy)
+        r = jnp.where(valid, ch[:, 1], dummy)
         o = o.at[l].set(ol).at[r].set(or_)
         os_ = os_.at[l].set(ol_s).at[r].set(or_s)
-        # push down through the edges: D[child] = P(blen)^T @ O[child]
-        dl = jnp.einsum("cst,csp->ctp", trans[l], ol, precision=HIGHEST)
-        dr = jnp.einsum("cst,csp->ctp", trans[r], or_, precision=HIGHEST)
+        # push down through the edges: D[child] = P(blen_child)^T @ O[child]
+        # (trans gathered at child ids — gathers from non-carried inputs
+        # are fine; only carry gathers force copies)
+        dl = jnp.einsum("wcst,wcsp->wctp", trans_p[l], ol, precision=HIGHEST)
+        dr = jnp.einsum("wcst,wcsp->wctp", trans_p[r], or_, precision=HIGHEST)
         d = d.at[l].set(dl).at[r].set(dr)
         ds = ds.at[l].set(ol_s).at[r].set(or_s)
-        return (o, os_, d, ds), None
+        return o, os_, d, ds
 
-    (o, os_, d, ds), _ = jax.lax.scan(step, (o, os_, d, ds), preorder)
+    o, os_, d, ds = jax.lax.fori_loop(0, tree.n_rows, row_step, (o, os_, d, ds))
     if with_d:
         return o, os_, d, ds
     return o, os_
@@ -157,8 +179,13 @@ def branch_lnl_derivs(
     Mirrors computeLikelihoodDervEigenSIMD + computeLikelihoodFromBuffer
     (phylokernel.h:485,1022) but batched over branches."""
     lam_r = model.eigenvalues[None, :] * model.rates[:, None]  # [C, S(j)]
+    # pad blen to the (padded) theta buffer length; outputs sliced back
+    nv = blen.shape[0]
+    blen_p = jnp.concatenate(
+        [blen, jnp.zeros((theta.theta.shape[0] - nv,), blen.dtype)]
+    )
     # E[v,c,j] = w_c exp(lam_j r_c t_v)
-    e = model.props[None, :, None] * jnp.exp(lam_r[None] * blen[:, None, None])
+    e = model.props[None, :, None] * jnp.exp(lam_r[None] * blen_p[:, None, None])
     f0 = jnp.einsum("vcj,vcjp->vp", e, theta.theta, precision=HIGHEST)
     f1 = jnp.einsum("vcj,cj,vcjp->vp", e, lam_r, theta.theta, precision=HIGHEST)
     f2 = jnp.einsum("vcj,cj,vcjp->vp", e, lam_r * lam_r, theta.theta,
@@ -176,15 +203,15 @@ def branch_lnl_derivs(
     r2 = f2 / denom
     d1 = jnp.einsum("p,vp->v", site.pattern_freq, r1, precision=HIGHEST)
     d2 = jnp.einsum("p,vp->v", site.pattern_freq, r2 - r1 * r1, precision=HIGHEST)
-    return lnl, d1, d2
+    return lnl[:nv], d1[:nv], d2[:nv]
 
 
 def all_passes(tree: TreeArrays, model: ModelArrays, site: SiteData):
     """(up, up_scale, out, out_scale, trans) for the current tree."""
     trans = branch_transition_mats(model, tree.blen)
     tips = tip_partials(site, model.ncat)
-    up, up_scale = upward_pass(tree, trans, tips)
-    out, out_scale = downward_pass(tree, trans, up, up_scale, model.state_freq)
+    up, up_scale, mb, msc = upward_pass(tree, trans, tips, return_mailbox=True)
+    out, out_scale = downward_pass(tree, trans, mb, msc, model.state_freq)
     return up, up_scale, out, out_scale, trans
 
 
@@ -193,13 +220,14 @@ def optimize_branch_mask(tree: TreeArrays) -> jnp.ndarray:
 
     Excludes the virtual root and its non-tip0 child (that half-edge is
     pinned to 0; tip0 carries the pendant edge length — see trees/tree.py)."""
-    n = tree.n_nodes
-    root = tree.postorder[-1]
+    n = tree.n_slots
+    root = tree.root
     c0 = tree.children[root, 0]
     c1 = tree.children[root, 1]
     pinned = jnp.where(c0 == 0, c1, c0)
     mask = jnp.ones((n,), dtype=bool)
     mask = mask.at[root].set(False).at[pinned].set(False)
+    mask = mask.at[tree.dummy].set(False)
     return mask
 
 
@@ -248,7 +276,7 @@ def optimize_all_branches(
         tt = tree.with_blen(b)
         trans2 = branch_transition_mats(model, tt.blen)
         u2, s2 = upward_pass(tt, trans2, tips)
-        root = tt.postorder[-1]
+        root = tt.root
         lnl, _ = root_loglik(model, site, u2[root], s2[root])
         return lnl
 

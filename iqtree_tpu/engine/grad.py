@@ -56,7 +56,7 @@ def loglik(tree: TreeArrays, model: ModelArrays, site: SiteData):
     trans = branch_transition_mats(model, tree.blen)
     tips = tip_partials(site, model.ncat)
     up, up_scale = upward_pass(tree, trans, tips)
-    root = tree.postorder[-1]
+    root = tree.root
     return root_loglik(model, site, up[root], up_scale[root])
 
 
@@ -72,9 +72,9 @@ def _loglik_bwd(res, cotangents):
     # recompute both sweeps (rematerialization)
     trans = branch_transition_mats(model, tree.blen)
     tips = tip_partials(site, model.ncat)
-    up, up_scale = upward_pass(tree, trans, tips)
-    out, out_scale = downward_pass(tree, trans, up, up_scale, model.state_freq)
-    root = tree.postorder[-1]
+    up, up_scale, mb, msc = upward_pass(tree, trans, tips, return_mailbox=True)
+    out, out_scale = downward_pass(tree, trans, mb, msc, model.state_freq)
+    root = tree.root
 
     # root-level vjp: props, state_freq, p_invar, pattern_freq (and lnl_p)
     def root_fn(model_, pattern_freq_):
@@ -96,7 +96,7 @@ def _loglik_bwd(res, cotangents):
     trans_bar = jnp.einsum(
         "ecsp,ectp,ep,c->ecst", out, up, factor, model.props,
         precision=HIGHEST,
-    )
+    )[: tree.n_slots]  # drop schedule padding rows (out==0 there anyway)
 
     # pull trans_bar back through P(t) construction -> blen + eigen + rates
     def trans_fn(model_, blen_):
@@ -107,11 +107,13 @@ def _loglik_bwd(res, cotangents):
 
     model_bar = jax.tree_util.tree_map(jnp.add, model_bar, model_bar2)
 
-    tree_bar = TreeArrays(
-        postorder=_int_zero(tree.postorder),
-        children=_int_zero(tree.children),
-        parent=_int_zero(tree.parent),
-        blen=blen_bar,
+    tree_bar = jax.tree_util.tree_map(
+        lambda x: (
+            blen_bar
+            if x is tree.blen
+            else np.zeros(x.shape, dtype=jax.dtypes.float0)
+        ),
+        tree,
     )
     site_bar = SiteData(
         tip_codes=_int_zero(site.tip_codes),

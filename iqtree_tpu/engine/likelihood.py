@@ -38,29 +38,85 @@ from ..trees.tree import PhyloTree
 SCALE_TINY = 1e-30
 
 
-class TreeArrays(NamedTuple):
-    """Device view of one topology + branch lengths."""
+SCHED_WIDTH = 32  # nodes per pruning row (trees/tree.py device_layout)
 
-    postorder: jnp.ndarray  # [N-1] int32 internal nodes, root last
-    children: jnp.ndarray  # [2N-1, 2] int32
-    parent: jnp.ndarray  # [2N-1] int32, -1 at root
-    blen: jnp.ndarray  # [2N-1] float
+
+class TreeArrays(NamedTuple):
+    """Device view of one topology + branch lengths (mailbox layout).
+
+    Internal nodes use a level-contiguous DEVICE numbering
+    (trees/tree.py device_layout): tips keep host ids 0..N-1, internal
+    nodes are N..2N-2 in schedule-row order (device root is always
+    2N-2), plus one dummy slot 2N-1 that absorbs padded writes.  d2h/h2d
+    translate to the host PhyloTree numbering.
+
+    Why this layout: the pruning loops read each row with contiguous
+    dynamic slices and write results by scattering to parents ("push").
+    A vector gather from a loop-carried buffer forces XLA to copy the
+    whole buffer every iteration on TPU (measured 20x); contiguous reads
+    + scatter-only writes stay in-place.
+    """
+
+    children: jnp.ndarray  # [2N, 2] device ids; dummy row = (dummy, dummy)
+    parent: jnp.ndarray  # [2N] device ids; parent[root] = parent[dummy] = dummy
+    side: jnp.ndarray  # [2N] mailbox slot (0/1) in the parent
+    blen: jnp.ndarray  # [2N] float (device numbering), blen[dummy] = 0
+    row_start: jnp.ndarray  # [N-1] int32 device-id range starts
+    row_len: jnp.ndarray  # [N-1] int32
+    n_rows: jnp.ndarray  # scalar int32
+    d2h: jnp.ndarray  # [2N-1] device -> host node id
+    h2d: jnp.ndarray  # [2N-1] host -> device node id
+
+    @property
+    def n_slots(self) -> int:
+        return self.children.shape[0]
 
     @property
     def n_nodes(self) -> int:
-        return self.children.shape[0]
+        return self.children.shape[0] - 1
 
     @property
     def n_taxa(self) -> int:
         return (self.n_nodes + 1) // 2
 
+    @property
+    def dummy(self) -> int:
+        return self.n_nodes
+
+    @property
+    def root(self) -> int:
+        return self.n_nodes - 1  # device root is always the last real node
+
     @classmethod
     def from_tree(cls, tree: PhyloTree, dtype=jnp.float32) -> "TreeArrays":
+        n = tree.n_nodes
+        dummy = n
+        lay = tree.device_layout(SCHED_WIDTH)
+        d2h, h2d = lay["d2h"], lay["h2d"]
+        # device-numbered structure arrays (vectorized remap)
+        children = np.full((n + 1, 2), dummy, dtype=np.int32)
+        parent = np.full(n + 1, dummy, dtype=np.int32)
+        side = np.zeros(n + 1, dtype=np.int32)
+        blen = np.zeros(n + 1, dtype=np.float64)
+        blen[:n] = tree.blen[d2h]
+        hp = tree.parent[d2h]  # [2N-1] host parents in device order
+        has_p = hp >= 0
+        parent[:n][has_p] = h2d[hp[has_p]]
+        side[:n][has_p] = (
+            tree.children[hp[has_p], 0] != d2h[has_p]
+        ).astype(np.int32)
+        internal = d2h >= tree.n_taxa
+        children[:n][internal] = h2d[tree.children[d2h[internal]]]
         return cls(
-            postorder=jnp.asarray(tree.postorder()),
-            children=jnp.asarray(tree.children),
-            parent=jnp.asarray(tree.parent),
-            blen=jnp.asarray(tree.blen, dtype=dtype),
+            children=jnp.asarray(children),
+            parent=jnp.asarray(parent),
+            side=jnp.asarray(side),
+            blen=jnp.asarray(blen, dtype=dtype),
+            row_start=jnp.asarray(lay["row_start"]),
+            row_len=jnp.asarray(lay["row_len"]),
+            n_rows=jnp.asarray(lay["n_rows"], dtype=jnp.int32),
+            d2h=jnp.asarray(d2h),
+            h2d=jnp.asarray(h2d),
         )
 
     def with_blen(self, blen: jnp.ndarray) -> "TreeArrays":
@@ -68,6 +124,13 @@ class TreeArrays(NamedTuple):
 
     def parent_of(self, v):
         return self.parent[v]
+
+    def host_blen(self) -> np.ndarray:
+        """Branch lengths mapped back to the host PhyloTree numbering."""
+        dev = np.asarray(self.blen, dtype=np.float64)[:-1]
+        out = np.empty_like(dev)
+        out[np.asarray(self.d2h)] = dev
+        return out
 
 
 class ModelArrays(NamedTuple):
@@ -141,48 +204,91 @@ def tip_partials(site: SiteData, ncat: int) -> jnp.ndarray:
     return jnp.swapaxes(masks, 1, 2)  # [N, S, P]
 
 
+def pad_trans(trans: jnp.ndarray, width: int = SCHED_WIDTH) -> jnp.ndarray:
+    """Append `width` identity rows so W-wide dynamic slices near the end
+    of the node range never clamp."""
+    C, S = trans.shape[1], trans.shape[2]
+    eye = jnp.broadcast_to(jnp.eye(S, dtype=trans.dtype), (width, C, S, S))
+    return jnp.concatenate([trans, eye], axis=0)
+
+
 def upward_pass(
     tree: TreeArrays,
-    trans: jnp.ndarray,  # [2N-1, C, S, S]
+    trans: jnp.ndarray,  # [2N, C, S, S] (device numbering; dummy row P(0)=I)
     tips: jnp.ndarray,  # [N_taxa, S, P]
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Post-order pruning; returns (partials [2N-1,C,S,P], logscale [2N-1,P]).
+    return_mailbox: bool = False,
+):
+    """Mailbox pruning; returns (partials U [2N+W,C,S,P], logscale
+    [2N+W,P]) and optionally the message mailbox.
 
-    partials[v] holds the *scaled* conditional likelihood of the subtree
-    below v given the state at v; logscale[v] the accumulated per-pattern
-    log renormalization."""
-    n_nodes = tree.n_nodes
+    U[v] is the *scaled* conditional likelihood of the subtree below v
+    given the state at v (entries beyond 2N-1 are padding garbage).  The
+    mailbox mb[u, k] holds the transition-applied message of u's k-th
+    child — each schedule row reads its own contiguous id range from the
+    mailbox, combines the two child messages, and pushes its message to
+    its parent's mailbox slot.  Only contiguous dynamic-slice reads and
+    scatter writes touch the loop carry, which XLA keeps in-place (a
+    vector gather from the carry costs a full buffer copy per row).
+
+    The reference's recursive DFS (phylokernel.h:80-126) is inherently
+    serial per node; here a balanced N-taxon tree takes ~N/(W log) steps.
+    """
+    W = SCHED_WIDTH
+    n_slots = tree.n_slots
     n_taxa = tree.n_taxa
     C = trans.shape[1]
     S = tips.shape[1]
     P = tips.shape[2]
     dtype = trans.dtype
+    dummy = tree.dummy
+    HP = jax.lax.Precision.HIGHEST
 
-    x0 = jnp.zeros((n_nodes, C, S, P), dtype=dtype)
-    x0 = x0.at[:n_taxa].set(tips[:, None, :, :])
-    s0 = jnp.zeros((n_nodes, P), dtype=dtype)
+    trans_p = pad_trans(trans, W)
+    # pad index arrays so W-wide slices near the end never clamp
+    parent_p = jnp.concatenate(
+        [tree.parent, jnp.full((W,), dummy, tree.parent.dtype)]
+    )
+    side_p = jnp.concatenate([tree.side, jnp.zeros((W,), tree.side.dtype)])
 
-    def step(carry, node):
-        x, scale = carry
-        l = tree.children[node, 0]
-        r = tree.children[node, 1]
-        # HIGHEST precision: bf16 MXU rounding of near-zero transition rows
-        # creates negative partials (-> NaN in log); these contractions are
-        # bandwidth-bound at S<=64, so full f32 costs nothing.
-        ml = jnp.einsum("cst,ctp->csp", trans[l], x[l],
-                        precision=jax.lax.Precision.HIGHEST)
-        mr = jnp.einsum("cst,ctp->csp", trans[r], x[r],
-                        precision=jax.lax.Precision.HIGHEST)
-        y = ml * mr
-        m = jnp.maximum(jnp.max(y, axis=(0, 1)), SCALE_TINY)  # [P]
-        y = y / m
-        sc = scale[l] + scale[r] + jnp.log(m)
-        x = x.at[node].set(y)
-        scale = scale.at[node].set(sc)
-        return (x, scale), None
+    # prologue: tip messages into parents' mailboxes
+    m_tip = jnp.einsum("ncst,ntp->ncsp", trans[:n_taxa], tips, precision=HP)
+    mb = jnp.zeros((n_slots + W, 2, C, S, P), dtype=dtype)
+    msc = jnp.zeros((n_slots + W, 2, P), dtype=dtype)
+    mb = mb.at[tree.parent[:n_taxa], tree.side[:n_taxa]].set(m_tip)
 
-    (x, scale), _ = jax.lax.scan(step, (x0, s0), tree.postorder)
-    return x, scale
+    u0 = jnp.ones((n_slots + W, C, S, P), dtype=dtype)
+    u0 = u0.at[:n_taxa].set(tips[:, None, :, :])
+    us0 = jnp.zeros((n_slots + W, P), dtype=dtype)
+
+    def row_step(i, carry):
+        mb, msc, u, usc = carry
+        s = tree.row_start[i]
+        ln = tree.row_len[i]
+        z = jnp.zeros((), s.dtype)
+        blk = jax.lax.dynamic_slice(mb, (s, z, z, z, z), (W, 2, C, S, P))
+        sbk = jax.lax.dynamic_slice(msc, (s, z, z), (W, 2, P))
+        y = blk[:, 0] * blk[:, 1]
+        mx = jnp.maximum(jnp.max(y, axis=(1, 2)), SCALE_TINY)  # [W, P]
+        y = y / mx[:, None, None, :]
+        sc = sbk[:, 0] + sbk[:, 1] + jnp.log(mx)
+        u = jax.lax.dynamic_update_slice(u, y, (s, z, z, z))
+        usc = jax.lax.dynamic_update_slice(usc, sc, (s, z))
+        # message to parent: trans of these very nodes (contiguous read)
+        tr = jax.lax.dynamic_slice(trans_p, (s, z, z, z), (W, C, S, S))
+        m = jnp.einsum("wcst,wctp->wcsp", tr, y, precision=HP)
+        valid = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0] < ln
+        p = jnp.where(valid, jax.lax.dynamic_slice(parent_p, (s,), (W,)), dummy)
+        sd = jax.lax.dynamic_slice(side_p, (s,), (W,))
+        mb = mb.at[p, sd].set(m)
+        msc = msc.at[p, sd].set(sc)
+        return mb, msc, u, usc
+
+    mb, msc, u, usc = jax.lax.fori_loop(
+        0, tree.n_rows, row_step, (mb, msc, u0, us0)
+    )
+    if return_mailbox:
+        return u, usc, mb, msc
+    return u, usc
 
 
 def root_loglik(
@@ -222,5 +328,5 @@ def compute_loglik(
     trans = branch_transition_mats(model, tree.blen)
     tips = tip_partials(site, model.ncat)
     x, scale = upward_pass(tree, trans, tips)
-    root = tree.postorder[-1]
+    root = tree.root
     return root_loglik(model, site, x[root], scale[root])

@@ -42,6 +42,7 @@ class NNIEval(NamedTuple):
     lnl: jnp.ndarray  # [E, 2] candidate log-likelihoods
     center_blen: jnp.ndarray  # [E, 2] optimized central branch length
     cur_lnl: jnp.ndarray  # scalar: current-tree lnL (same machinery)
+    site_lnl: jnp.ndarray = None  # [E, 2, P] per-pattern lnl (optional)
 
 
 def _pmat(model: ModelArrays, t) -> jnp.ndarray:
@@ -108,8 +109,9 @@ def _theta_lnl_newton(
 
     t = jax.lax.fori_loop(0, newton_iters, newton, t0)
     denom, _, _ = derivs(t)
-    lnl = jnp.sum(site.pattern_freq * (scale + jnp.log(denom)))
-    return t, lnl
+    site_lnl = scale + jnp.log(denom)
+    lnl = jnp.sum(site.pattern_freq * site_lnl)
+    return t, lnl, site_lnl
 
 
 def _ptn_invar(model: ModelArrays, site: SiteData):
@@ -125,10 +127,11 @@ def evaluate_nnis(
     tree: TreeArrays,
     model: ModelArrays,
     site: SiteData,
-    edges: jnp.ndarray,  # [E] int32 nodes v with internal parent edge
+    edges: jnp.ndarray,  # [E] int32 DEVICE node ids with internal parent edge
     nni5: bool = True,
     local_rounds: int = 2,
     final_newton: int = 2,
+    want_site_lnl: bool = False,
 ) -> NNIEval:
     """Evaluate both NNIs on every given edge (vmapped).
 
@@ -137,18 +140,18 @@ def evaluate_nnis(
     the central one."""
     trans = branch_transition_mats(model, tree.blen)
     tips = tip_partials(site, model.ncat)
-    up, up_scale = upward_pass(tree, trans, tips)
+    up, up_scale, mb, msc = upward_pass(tree, trans, tips, return_mailbox=True)
     out, out_scale, dbuf, d_scale = downward_pass(
-        tree, trans, up, up_scale, model.state_freq, with_d=True
+        tree, trans, mb, msc, model.state_freq, with_d=True
     )
     ptn_invar = _ptn_invar(model, site)
 
-    root = tree.postorder[-1]
+    root = tree.root
     # current lnL through the same machinery (for consistent comparison):
     # use the first edge's parent edge theta — any branch gives the tree lnL
     def cur_lnl_fn():
         v = edges[0]
-        _, lnl = _theta_lnl_newton(
+        _, lnl, _ = _theta_lnl_newton(
             model, site, up[v], up_scale[v], out[v], out_scale[v],
             tree.blen[v], ptn_invar, newton_iters=0,
         )
@@ -189,7 +192,7 @@ def evaluate_nnis(
             inside, s_in = _rescale(M_p * M_q, sU_p + sU_q)
             outside, s_out = _rescale(M_r * M_up, sU_r + sO_u)
             # central branch
-            t_c, _ = _theta_lnl_newton(
+            t_c, _, _ = _theta_lnl_newton(
                 model, site, inside, s_in, outside, s_out, t_c, ptn_invar, 2
             )
             if nni5:
@@ -198,21 +201,21 @@ def evaluate_nnis(
                 s_down = s_out
                 # outer branch p: outside = M_q * down
                 o_p, so_p = _rescale(M_q * down, sU_q + s_down)
-                t_p, _ = _theta_lnl_newton(
+                t_p, _, _ = _theta_lnl_newton(
                     model, site, U_p, sU_p, o_p, so_p, t_p, ptn_invar, 2
                 )
                 o_q, so_q = _rescale(M_p * down, sU_p + s_down)
-                t_q, _ = _theta_lnl_newton(
+                t_q, _, _ = _theta_lnl_newton(
                     model, site, U_q, sU_q, o_q, so_q, t_q, ptn_invar, 2
                 )
                 up2 = _apply(pc, inside)  # message v->u
                 s_up2 = s_in
                 o_r, so_r = _rescale(M_up * up2, sO_u + s_up2)
-                t_r, _ = _theta_lnl_newton(
+                t_r, _, _ = _theta_lnl_newton(
                     model, site, U_r, sU_r, o_r, so_r, t_r, ptn_invar, 2
                 )
                 u_in, su_in = _rescale(M_r * up2, sU_r + s_up2)
-                t_u, _ = _theta_lnl_newton(
+                t_u, _, _ = _theta_lnl_newton(
                     model, site, u_in, su_in, O_u, sO_u, t_u, ptn_invar, 2
                 )
             return t_p, t_q, t_r, t_u, t_c
@@ -228,14 +231,19 @@ def evaluate_nnis(
         M_up = _apply_t(_pmat(model, t_u), O_u)
         inside, s_in = _rescale(M_p * M_q, sU_p + sU_q)
         outside, s_out = _rescale(M_r * M_up, sU_r + sO_u)
-        t_c, lnl = _theta_lnl_newton(
+        t_c, lnl, slnl = _theta_lnl_newton(
             model, site, inside, s_in, outside, s_out, t_c, ptn_invar,
             final_newton,
         )
-        return lnl, t_c
+        return lnl, t_c, slnl
 
     eval_v = jax.vmap(
         jax.vmap(eval_edge, in_axes=(None, 0)), in_axes=(0, None)
     )
-    lnls, t_centers = eval_v(edges, jnp.arange(2))
-    return NNIEval(lnl=lnls, center_blen=t_centers, cur_lnl=cur_lnl)
+    lnls, t_centers, site_lnls = eval_v(edges, jnp.arange(2))
+    return NNIEval(
+        lnl=lnls,
+        center_blen=t_centers,
+        cur_lnl=cur_lnl,
+        site_lnl=site_lnls if want_site_lnl else None,
+    )

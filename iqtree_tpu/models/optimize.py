@@ -50,6 +50,7 @@ class ModelOptimizer:
     dtype: object = jnp.float64
 
     def __post_init__(self):
+        self._jit_cache = {}
         s = self.subst
         self.opt_rates = (not s.fixed_rates) and s.rate_groups is not None and s.n_rate_params > 0
         self.opt_freq = s.freq_type == FREQ_ESTIMATE
@@ -228,13 +229,20 @@ def optimize_model_and_branches(
     if params is None:
         params = opt.init_params()
 
-    def _round(t, p):
-        p, _ = fit_model_step(opt, t, site, p, model_iters)
-        ma = opt.build(p)
-        t, lnl = optimize_all_branches(t, ma, site, n_sweeps=branch_sweeps)
-        return t, p, lnl
+    # one compiled executable per (optimizer, data shape, loop sizes):
+    # repeated calls (and warmup vs timed runs) reuse the same jit entry
+    key = ("round", site.tip_codes.shape, branch_sweeps, model_iters)
+    round_jit = opt._jit_cache.get(key)
+    if round_jit is None:
 
-    round_jit = jax.jit(_round)
+        def _round(t, p):
+            p, _ = fit_model_step(opt, t, site, p, model_iters)
+            ma = opt.build(p)
+            t, lnl = optimize_all_branches(t, ma, site, n_sweeps=branch_sweeps)
+            return t, p, lnl
+
+        round_jit = jax.jit(_round)
+        opt._jit_cache[key] = round_jit
 
     lnl_prev = -np.inf
     lnl = -np.inf

@@ -53,6 +53,12 @@ class SearchParams:
     nni5: bool = True
     start_tree: Optional[str] = None  # newick string (-t/-te)
     log: Callable[[str], None] = print
+    # UFBoot (-bb): replicates; correlation checked every step_iterations
+    ufboot: int = 0
+    step_iterations: int = 100
+    min_correlation: float = 0.99
+    max_boot_iterations: int = 1000
+    checkpoint: object = None  # utils.checkpoint.Checkpoint for resume
 
 
 @dataclass
@@ -67,6 +73,7 @@ class SearchResult:
     candidates: CandidateSet
     model_opt: ModelOptimizer = None
     params_vec: dict = None
+    ufboot: object = None  # UFBoot instance when -bb was requested
 
 
 def random_nni_perturb(tree: PhyloTree, n_moves: int, rng: np.random.Generator):
@@ -106,15 +113,27 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     ta, mparams, lnl = optimize_model_and_branches(
         opt, ta, site, params=mparams, rounds=10, tol=0.1
     )
-    tree.blen = np.asarray(ta.blen, dtype=np.float64)
+    tree.blen = ta.host_blen()
     log(f"Start tree lnL: {lnl:.4f}")
 
     model_arrays = jax.jit(opt.build)(mparams)
     engine = NNIEngine(model_arrays, site, dtype=dtype, nni5=params.nni5)
 
+    # ---- UFBoot setup -------------------------------------------------
+    ufboot = None
+    on_tree = None
+    if params.ufboot > 0:
+        from .ufboot import UFBoot
+
+        ufboot = UFBoot(aln, params.ufboot, rng, dtype=dtype)
+        log(f"Ultrafast bootstrap: {params.ufboot} replicates (RELL on MXU)")
+
+        def on_tree(t, lnl):
+            ufboot.save_tree(t, engine.pattern_lnl(t))
+
     # ---- initial candidate set ---------------------------------------
     cand = CandidateSet(max_size=params.max_candidates, pop_size=params.pop_size)
-    res = engine.hill_climb(tree)
+    res = engine.hill_climb(tree, on_tree=on_tree)
     cand.update(res.tree, res.lnl)
     best_lnl = res.lnl
     best_tree = res.tree.copy()
@@ -137,7 +156,7 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         scored.append((l, t))
     scored.sort(key=lambda e: -e[0])
     for l, t in scored[: params.n_top_init]:
-        r = engine.hill_climb(t)
+        r = engine.hill_climb(t, on_tree=on_tree)
         improved = cand.update(r.tree, r.lnl)
         if r.lnl > best_lnl:
             best_lnl, best_tree = r.lnl, r.tree.copy()
@@ -148,11 +167,57 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         unsuccess_iteration=params.unsuccess_iteration,
         fixed_iterations=params.fixed_iterations,
         max_seconds=params.max_seconds,
+        min_iterations=params.step_iterations if ufboot else 0,
     )
-    while not stop.should_stop():
+    boot_converged = ufboot is None
+
+    def keep_searching() -> bool:
+        nonlocal boot_converged
+        if ufboot is not None and params.fixed_iterations is None:
+            it = stop.cur_iteration
+            if it >= params.max_boot_iterations:
+                return False
+            if it > 0 and it % params.step_iterations == 0:
+                corr = ufboot.check_convergence()
+                boot_converged = corr >= params.min_correlation
+                log(f"UFBoot split correlation at iteration {it}: {corr:.4f}")
+            if not boot_converged:
+                return True
+        return not stop.should_stop()
+
+    # ---- checkpoint resume (phase gates like phyloanalysis.cpp:1757) --
+    ckp = params.checkpoint
+    if ckp is not None and ckp.has("search.best_tree"):
+        from ..trees.tree import PhyloTree as _PT
+
+        log("Resuming search from checkpoint...")
+        best_lnl = float(ckp.get("search.best_lnl"))
+        best_tree = _PT.from_newick(ckp.get("search.best_tree"), aln.names)
+        cand = CandidateSet(
+            max_size=params.max_candidates, pop_size=params.pop_size
+        )
+        for nwk, score in ckp.get("search.candidates", []):
+            cand.update(_PT.from_newick(nwk, aln.names), float(score))
+        stop.restore(ckp.get("search.stoprule", {}))
+        rng.bit_generator.state = ckp.get("search.rng_state")
+
+    def save_checkpoint():
+        if ckp is None:
+            return
+        ckp.put("search.best_lnl", best_lnl)
+        ckp.put("search.best_tree", best_tree.to_newick(aln.names))
+        ckp.put(
+            "search.candidates",
+            [(t.to_newick(aln.names), s) for s, t in cand.sorted_entries()],
+        )
+        ckp.put("search.stoprule", stop.state())
+        ckp.put("search.rng_state", rng.bit_generator.state)
+        ckp.dump(force=False)
+
+    while keep_searching():
         t = cand.random_candidate(rng)
         random_nni_perturb(t, n_perturb, rng)
-        r = engine.hill_climb(t)
+        r = engine.hill_climb(t, on_tree=on_tree)
         improved = r.lnl > best_lnl + 1e-6
         cand.update(r.tree, r.lnl)
         if improved:
@@ -162,6 +227,7 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
                 f"{best_lnl:.4f}"
             )
         stop.iteration_done(improved)
+        save_checkpoint()
         if stop.cur_iteration % 10 == 0:
             log(
                 f"Iteration {stop.cur_iteration} / LogL: {r.lnl:.3f} / "
@@ -174,7 +240,7 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     ta, mparams, best_lnl = optimize_model_and_branches(
         opt, ta, site, params=mparams, rounds=15, tol=0.001
     )
-    best_tree.blen = np.asarray(ta.blen, dtype=np.float64)
+    best_tree.blen = ta.host_blen()
     subst, rate = opt.unpack(mparams)
     log(f"BEST SCORE FOUND: {best_lnl:.4f}")
     return SearchResult(
@@ -188,4 +254,5 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         candidates=cand,
         model_opt=opt,
         params_vec=mparams,
+        ufboot=ufboot,
     )

@@ -55,6 +55,16 @@ class NNIEngine:
             lambda t, m, n: optimize_all_branches(t, m, self.site, n_sweeps=n),
             static_argnames=("n",),
         )
+        from ..engine.likelihood import compute_loglik
+
+        self._patlnl = jax.jit(
+            lambda t, m: compute_loglik(t, m, self.site)[1]
+        )
+
+    def pattern_lnl(self, tree: PhyloTree):
+        import numpy as _np
+
+        return _np.asarray(self._patlnl(self.arrays(tree), self.model))
 
     def arrays(self, tree: PhyloTree) -> TreeArrays:
         return TreeArrays.from_tree(tree, self.dtype)
@@ -63,7 +73,7 @@ class NNIEngine:
         self, tree: PhyloTree, n_sweeps: int = 100
     ) -> Tuple[PhyloTree, float]:
         ta, lnl = self._brlen(self.arrays(tree), self.model, n_sweeps)
-        tree.blen = np.asarray(ta.blen, dtype=np.float64)
+        tree.blen = ta.host_blen()
         return tree, float(lnl)
 
     def hill_climb(
@@ -87,7 +97,9 @@ class NNIEngine:
             edges = tree.internal_edges()
             if len(edges) == 0:
                 break
-            ev = self._eval(self.arrays(tree), self.model, jnp.asarray(edges))
+            ta = self.arrays(tree)
+            edges_dev = np.asarray(ta.h2d)[edges]
+            ev = self._eval(ta, self.model, jnp.asarray(edges_dev))
             lnls = np.asarray(ev.lnl)
             centers = np.asarray(ev.center_blen)
             delta = lnls - cur

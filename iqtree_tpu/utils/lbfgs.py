@@ -1,11 +1,19 @@
-"""Jittable L-BFGS minimization over pytrees (optax-based).
+"""Jittable L-BFGS minimization over pytrees (hand-rolled, compact).
 
 Replaces the reference's BFGS `minimizeMultiDimen`
 (/root/reference/optimization.cpp:560) and the vendored L-BFGS-B
 (/root/reference/lbfgsb/): bounds are handled upstream by unconstrained
-reparameterization (log/sigmoid/softmax) instead of box constraints, so a
-plain L-BFGS with zoom linesearch suffices — and it runs entirely on
-device inside one jit."""
+reparameterization (log/sigmoid/softmax), so plain L-BFGS with Armijo
+backtracking suffices.
+
+Hand-rolled rather than optax.lbfgs: the optimization runs *inside* jit
+against an objective whose gradient is itself a two-sweep tree program;
+optax's zoom linesearch multiplied that graph enough to blow up XLA
+compile times (and crashed the axon TPU compiler at 1000 taxa).  This
+implementation keeps the compiled graph to ONE value_and_grad + ONE
+value-only evaluation per iteration: two-loop recursion on a flattened
+parameter vector, Armijo backtracking folded into a lax.while_loop.
+"""
 
 from __future__ import annotations
 
@@ -13,8 +21,24 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
-import optax.tree_utils as otu
+import numpy as np
+
+
+def _ravel(pytree):
+    leaves, treedef = jax.tree_util.tree_flatten(pytree)
+    shapes = [jnp.shape(l) for l in leaves]
+    sizes = [int(np.prod(s)) if s else 1 for s in shapes]
+    vec = jnp.concatenate([jnp.reshape(l, (-1,)) for l in leaves]) if leaves else jnp.zeros((0,))
+
+    def unravel(v):
+        out = []
+        ofs = 0
+        for s, n in zip(shapes, sizes):
+            out.append(jnp.reshape(v[ofs:ofs + n], s))
+            ofs += n
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return vec, unravel
 
 
 def lbfgs_minimize(
@@ -22,34 +46,108 @@ def lbfgs_minimize(
     x0,
     max_iters: int = 100,
     grad_tol: float = 1e-6,
-    memory_size: int = 12,
+    memory_size: int = 10,
+    max_backtracks: int = 25,
 ):
     """Minimize `fun(pytree) -> scalar`.  Returns (x, value, n_iters).
 
-    Designed to be called inside jit; uses a while_loop with optax's
-    lbfgs + zoom linesearch."""
-    opt = optax.lbfgs(memory_size=memory_size)
-    value_and_grad = optax.value_and_grad_from_state(fun)
+    Designed to be called inside jit; the whole optimization is one
+    lax.while_loop."""
+    x0_vec, unravel = _ravel(x0)
+    n = x0_vec.shape[0]
+    if n == 0:
+        return x0, fun(x0), jnp.asarray(0)
+    dtype = x0_vec.dtype
+    m = memory_size
 
-    def cond(carry):
-        x, state, it = carry
-        count = otu.tree_get(state, "count")
-        grad = otu.tree_get(state, "grad")
-        gnorm = otu.tree_norm(grad)
-        return jnp.logical_and(
-            it < max_iters, jnp.logical_or(it == 0, gnorm > grad_tol)
+    def vg(v):
+        val, g = jax.value_and_grad(lambda p: fun(unravel(p)))(v)
+        return val, g
+
+    f0, g0 = vg(x0_vec)
+
+    # history ring buffers
+    S = jnp.zeros((m, n), dtype)
+    Y = jnp.zeros((m, n), dtype)
+    rho = jnp.zeros((m,), dtype)
+
+    def direction(g, S, Y, rho, k):
+        """Two-loop recursion; entries with rho==0 are inactive."""
+        q = g
+
+        def bwd(i, carry):
+            q, alphas = carry
+            idx = (k - 1 - i) % m
+            alpha = rho[idx] * jnp.dot(S[idx], q)
+            alpha = jnp.where(rho[idx] > 0, alpha, 0.0)
+            q = q - alpha * Y[idx]
+            return q, alphas.at[idx].set(alpha)
+
+        q, alphas = jax.lax.fori_loop(0, m, bwd, (q, jnp.zeros((m,), dtype)))
+        # initial Hessian scaling gamma = s.y / y.y of most recent pair
+        last = (k - 1) % m
+        yy = jnp.dot(Y[last], Y[last])
+        sy = jnp.dot(S[last], Y[last])
+        gamma = jnp.where(yy > 0, sy / jnp.maximum(yy, 1e-30), 1.0)
+        r = gamma * q
+
+        def fwd(i, r):
+            idx = (k - m + i) % m
+            beta = rho[idx] * jnp.dot(Y[idx], r)
+            beta = jnp.where(rho[idx] > 0, beta, 0.0)
+            return r + S[idx] * (alphas[idx] - beta)
+
+        r = jax.lax.fori_loop(0, m, fwd, r)
+        return r
+
+    def cond(st):
+        x, f, g, S, Y, rho, k, done = st
+        return jnp.logical_and(k < max_iters, jnp.logical_not(done))
+
+    def step(st):
+        x, f, g, S, Y, rho, k, done = st
+        d = -direction(g, S, Y, rho, k)
+        # ensure descent; fall back to steepest descent
+        dg = jnp.dot(d, g)
+        d = jnp.where(dg < 0, d, -g)
+        dg = jnp.minimum(dg, -jnp.dot(g, g))
+
+        # Armijo backtracking: f(x + t d) <= f + c1 t (d.g)
+        c1 = 1e-4
+
+        def bt_cond(s):
+            t, fn, j = s
+            return jnp.logical_and(
+                j < max_backtracks, fn > f + c1 * t * dg
+            )
+
+        def bt_body(s):
+            t, _, j = s
+            t = t * 0.5
+            fn = fun(unravel(x + t * d))
+            return t, fn, j + 1
+
+        t0 = jnp.asarray(1.0, dtype)
+        f1 = fun(unravel(x + t0 * d))
+        t, f_new, _ = jax.lax.while_loop(bt_cond, bt_body, (t0, f1, 0))
+        accepted = f_new <= f + c1 * t * dg
+        x_new = jnp.where(accepted, x + t * d, x)
+        f_val, g_new = vg(x_new)
+        s_vec = x_new - x
+        y_vec = g_new - g
+        sy = jnp.dot(s_vec, y_vec)
+        idx = k % m
+        good = sy > 1e-12
+        S = S.at[idx].set(jnp.where(good, s_vec, S[idx]))
+        Y = Y.at[idx].set(jnp.where(good, y_vec, Y[idx]))
+        rho = rho.at[idx].set(jnp.where(good, 1.0 / jnp.maximum(sy, 1e-30), 0.0))
+        gnorm = jnp.linalg.norm(g_new)
+        done = jnp.logical_or(
+            gnorm < grad_tol, jnp.logical_not(accepted)
         )
+        return x_new, f_val, g_new, S, Y, rho, k + 1, done
 
-    def step(carry):
-        x, state, it = carry
-        value, grad = value_and_grad(x, state=state)
-        updates, state = opt.update(
-            grad, state, x, value=value, grad=grad, value_fn=fun
-        )
-        x = optax.apply_updates(x, updates)
-        return x, state, it + 1
-
-    state0 = opt.init(x0)
-    x, state, it = jax.lax.while_loop(cond, step, (x0, state0, jnp.asarray(0)))
-    final_value = otu.tree_get(state, "value")
-    return x, final_value, it
+    x, f, g, S, Y, rho, k, done = jax.lax.while_loop(
+        cond, step, (x0_vec, f0, g0, S, Y, rho, jnp.asarray(0), jnp.asarray(False))
+    )
+    return unravel(x), f, k

@@ -12,28 +12,49 @@ from iqtree_tpu.utils.gamma_jax import discrete_gamma_rates_jax, gammaincinv_jax
 from test_derivatives import setup
 
 
-def test_loglik_custom_vjp_matches_autodiff():
+def _fd_grad(f, x, eps=1e-6):
+    x = np.asarray(x, dtype=np.float64)
+    g = np.zeros_like(x)
+    for i in range(x.size):
+        xp = x.copy(); xp.flat[i] += eps
+        xm = x.copy(); xm.flat[i] -= eps
+        g.flat[i] = (f(xp) - f(xm)) / (2 * eps)
+    return g
+
+
+def test_loglik_custom_vjp_matches_finite_differences():
     ta, ma, sd = setup(n_taxa=8, seed=2, pinv=0.1)
 
     def f_custom(blen, model, freq):
         lnl, _ = loglik(ta.with_blen(blen), model, sd._replace(pattern_freq=freq))
         return lnl
 
-    def f_ref(blen, model, freq):
-        lnl, _ = compute_loglik(
-            ta.with_blen(blen), model, sd._replace(pattern_freq=freq)
-        )
-        return lnl
-
     args = (ta.blen, ma, sd.pattern_freq)
     v1, g1 = jax.value_and_grad(f_custom, argnums=(0, 1, 2))(*args)
-    v2, g2 = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(*args)
-    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
-    flat1 = jax.tree_util.tree_leaves(g1)
-    flat2 = jax.tree_util.tree_leaves(g2)
-    assert len(flat1) == len(flat2)
-    for a, b in zip(flat1, flat2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8)
+    v_plain, _ = compute_loglik(ta, ma, sd)
+    np.testing.assert_allclose(float(v1), float(v_plain), rtol=1e-12)
+    # blen gradient vs finite differences
+    g_blen_fd = _fd_grad(lambda b: float(f_custom(jnp.asarray(b), ma,
+                                                  sd.pattern_freq)), args[0])
+    got = np.array(g1[0], copy=True)
+    got[-1] = 0.0  # dummy slot: FD also 0 there
+    np.testing.assert_allclose(got, g_blen_fd, rtol=1e-4, atol=1e-5)
+    # a few model-parameter gradients vs finite differences
+    for field in ("rates", "props", "state_freq", "eigenvalues"):
+        x0 = np.asarray(getattr(ma, field))
+
+        def f_field(x):
+            return float(f_custom(args[0], ma._replace(**{field: jnp.asarray(x)}),
+                                  sd.pattern_freq))
+
+        fd = _fd_grad(f_field, x0, eps=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(getattr(g1[1], field)), fd, rtol=1e-3, atol=1e-4,
+            err_msg=field,
+        )
+    # pattern_freq gradient is analytically lnl_p
+    _, lnl_p = compute_loglik(ta, ma, sd)
+    np.testing.assert_allclose(np.asarray(g1[2]), np.asarray(lnl_p), rtol=1e-10)
 
 
 def test_loglik_pattern_output_vjp():
@@ -43,13 +64,15 @@ def test_loglik_pattern_output_vjp():
         _, pat = loglik(ta.with_blen(blen), ma, sd)
         return jnp.sum(jnp.sin(pat))
 
-    def f_ref(blen):
-        _, pat = compute_loglik(ta.with_blen(blen), ma, sd)
-        return jnp.sum(jnp.sin(pat))
+    g1 = np.array(jax.grad(f_custom)(ta.blen), copy=True)
+    g1[-1] = 0.0  # dummy slot
 
-    g1 = jax.grad(f_custom)(ta.blen)
-    g2 = jax.grad(f_ref)(ta.blen)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6, atol=1e-9)
+    def f_np(b):
+        _, pat = compute_loglik(ta.with_blen(jnp.asarray(b)), ma, sd)
+        return float(jnp.sum(jnp.sin(pat)))
+
+    g_fd = _fd_grad(f_np, ta.blen)
+    np.testing.assert_allclose(g1, g_fd, rtol=1e-4, atol=1e-6)
 
 
 def test_gammaincinv_jax():

@@ -46,8 +46,9 @@ def test_nni_eval_exact_algebra():
     equal compute_loglik of the host-applied swapped topology."""
     tree, ta, ma, sd = setup()
     edges = tree.internal_edges()
+    edges_dev = np.asarray(ta.h2d)[edges]
     ev = evaluate_nnis(
-        ta, ma, sd, jnp.asarray(edges), nni5=False, local_rounds=0,
+        ta, ma, sd, jnp.asarray(edges_dev), nni5=False, local_rounds=0,
         final_newton=0,
     )
     lnls = np.asarray(ev.lnl)
@@ -66,9 +67,9 @@ def test_nni_eval_vs_host_apply():
     topology."""
     tree, ta, ma, sd = setup()
     ta, _ = optimize_all_branches(ta, ma, sd)
-    tree.blen = np.asarray(ta.blen)
+    tree.blen = ta.host_blen()
     edges = tree.internal_edges()
-    ev = evaluate_nnis(ta, ma, sd, jnp.asarray(edges), nni5=True)
+    ev = evaluate_nnis(ta, ma, sd, jnp.asarray(np.asarray(ta.h2d)[edges]), nni5=True)
     lnls = np.asarray(ev.lnl)
     for k, v in enumerate(edges[:5]):
         for swap in (0, 1):
@@ -93,7 +94,7 @@ def test_nni_ranking_improves_tree():
     ta = TreeArrays.from_tree(tree, jnp.float64)
     ta, lnl0 = optimize_all_branches(ta, ma, sd)
     edges = tree.internal_edges()
-    ev = evaluate_nnis(ta, ma, sd, jnp.asarray(edges), nni5=True)
+    ev = evaluate_nnis(ta, ma, sd, jnp.asarray(np.asarray(ta.h2d)[edges]), nni5=True)
     delta = np.asarray(ev.lnl) - float(ev.cur_lnl)
     best = np.unravel_index(np.argmax(delta), delta.shape)
     if delta[best] > 0.01:
