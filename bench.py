@@ -58,10 +58,13 @@ def load_workload():
 def main():
     t_setup = time.time()
     import jax
+
+    jax.config.update("jax_enable_x64", True)  # f64 lnL totals; arrays stay f32
     import jax.numpy as jnp
 
     aln, tree_nwk = load_workload()
 
+    from iqtree_tpu.engine.kernels.pruning import device_slot_schedule
     from iqtree_tpu.engine.likelihood import SiteData, TreeArrays, compute_loglik
     from iqtree_tpu.models.factory import parse_model_string
     from iqtree_tpu.models.optimize import ModelOptimizer, optimize_model_and_branches
@@ -73,18 +76,21 @@ def main():
     opt = ModelOptimizer(subst, rate, dtype=dtype)
     site = SiteData.from_alignment(aln, dtype)
     ta = TreeArrays.from_tree(tree, dtype)
+    steps, n_slots = device_slot_schedule(tree, ta)
+    steps = jnp.asarray(steps)
 
     # warm up compiles outside the timed region (the reference's binary is
     # precompiled; we compare steady-state execution)
     sys.stderr.write(f"setup {time.time()-t_setup:.1f}s; compiling...\n")
     t_compile = time.time()
     # same loop sizes as the timed run so the jit cache is warm
-    _ = optimize_model_and_branches(opt, ta, site, rounds=1, tol=1e9)
+    _ = optimize_model_and_branches(opt, ta, site, rounds=1, tol=1e9,
+                                    steps=steps, n_slots=n_slots)
     sys.stderr.write(f"compile+warmup {time.time()-t_compile:.1f}s\n")
 
     t0 = time.time()
     ta2, params, lnl = optimize_model_and_branches(
-        opt, ta, site, rounds=10, tol=0.01
+        opt, ta, site, rounds=10, tol=0.01, steps=steps, n_slots=n_slots
     )
     our_seconds = time.time() - t0
 

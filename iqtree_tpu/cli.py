@@ -91,6 +91,45 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     tree, subst, rate, lnl, iters, pattern_lnl, ufboot = result
 
+    # ---- standard bootstrap (-b): full re-analysis per replicate ------
+    # (runStandardBootstrap, phyloanalysis.cpp:2222; each replicate is the
+    # same compiled search program with resampled pattern weights)
+    std_boot_support = None
+    if cfg.std_bootstrap > 0 and not cfg.fix_topology:
+        from .search.driver import SearchParams, run_search
+        from .trees.splits import SplitCounter, consensus_tree, map_supports
+
+        rng = np.random.default_rng(cfg.seed + 1000)
+        counter = SplitCounter(aln.n_taxa)
+        boot_trees = []
+        for b in range(cfg.std_bootstrap):
+            freqs = aln.bootstrap_pattern_freq(rng)
+            sp = SearchParams(
+                model=cfg.model or model_str,
+                seed=cfg.seed + b + 1,
+                n_init_trees=4,
+                n_top_init=2,
+                unsuccess_iteration=min(cfg.unsuccess_iteration, 50),
+                dtype=dtype,
+                log=lambda s: None,
+                pattern_freq=freqs,
+            )
+            r = run_search(aln, sp)
+            counter.add_tree(r.best_tree)
+            boot_trees.append(r.best_tree)
+            log(f"Bootstrap replicate {b + 1}/{cfg.std_bootstrap}: "
+                f"lnL {r.best_lnl:.3f}")
+        with open(prefix + ".boottrees", "w") as f:
+            for t in boot_trees:
+                f.write(t.to_newick(aln.names) + "\n")
+        cons, _ = consensus_tree(counter)
+        with open(prefix + ".contree", "w") as f:
+            f.write(cons.to_newick(aln.names,
+                                   support=map_supports(cons, counter)) + "\n")
+        std_boot_support = map_supports(tree, counter)
+        log(f"  Bootstrap trees:               {prefix}.boottrees")
+        log(f"  Consensus tree:                {prefix}.contree")
+
     # ---- branch tests (-alrt, phylotree.cpp:4058 testAllBranches) ----
     alrt_labels = None
     if cfg.alrt > 0:
@@ -135,6 +174,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         log(f"  UFBoot trees:                  {prefix}.ufboot")
         log(f"  Split support values:          {prefix}.splits.nex")
         log(f"  Consensus tree:                {prefix}.contree")
+    if support is None and std_boot_support is not None:
+        support = std_boot_support
     if alrt_labels is not None and support is not None:
         # reference label order: SH-aLRT/UFboot
         support = {

@@ -31,6 +31,7 @@ class RunConfig:
     redo: bool = False  # -redo
     quiet: bool = False  # -quiet
     ufboot: int = 0  # -bb replicates
+    std_bootstrap: int = 0  # -b replicates (standard, full re-analysis)
     alrt: int = 0  # -alrt replicates
     model_test: bool = False  # -m TEST/TESTONLY
     model_test_only: bool = False
@@ -76,6 +77,8 @@ def parse_args(argv) -> RunConfig:
     p.add_argument("-quiet", dest="quiet", action="store_true")
     p.add_argument("-bb", dest="ufboot", type=int, default=0,
                    help="ultrafast bootstrap replicates (>=1000)")
+    p.add_argument("-b", dest="std_boot", type=int, default=0,
+                   help="standard nonparametric bootstrap replicates")
     p.add_argument("-alrt", dest="alrt", type=int, default=0,
                    help="SH-aLRT replicates")
     p.add_argument("-pers", dest="pers", type=float, default=0.5)
@@ -108,6 +111,7 @@ def parse_args(argv) -> RunConfig:
         redo=a.redo,
         quiet=a.quiet,
         ufboot=a.ufboot,
+        std_bootstrap=a.std_boot,
         alrt=a.alrt,
         model_test=model_test,
         model_test_only=model_test_only,

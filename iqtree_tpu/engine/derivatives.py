@@ -198,7 +198,12 @@ def branch_lnl_derivs(
     ) * (theta.ptn_invar[None, :] > 0)
     denom = f0 + invar_term
     lnl_p = theta.scale + jnp.log(denom)
-    lnl = jnp.einsum("p,vp->v", site.pattern_freq, lnl_p, precision=HIGHEST)
+    lnl = jnp.einsum(
+        "p,vp->v",
+        site.pattern_freq.astype(jnp.float64),
+        lnl_p.astype(jnp.float64),
+        precision=HIGHEST,
+    )
     r1 = f1 / denom
     r2 = f2 / denom
     d1 = jnp.einsum("p,vp->v", site.pattern_freq, r1, precision=HIGHEST)
@@ -259,6 +264,8 @@ def optimize_all_branches(
     n_sweeps: int = 100,
     tol: float = 1e-5,
     max_backtracks: int = 8,
+    steps=None,
+    n_slots: int = 0,
 ) -> Tuple[TreeArrays, jnp.ndarray]:
     """Batched analogue of PhyloTree::optimizeAllBranches
     (phylotree.cpp:2252).
@@ -272,13 +279,22 @@ def optimize_all_branches(
     mask = optimize_branch_mask(tree)
     tips = tip_partials(site, model.ncat)
 
-    def true_lnl(b):
-        tt = tree.with_blen(b)
-        trans2 = branch_transition_mats(model, tt.blen)
-        u2, s2 = upward_pass(tt, trans2, tips)
-        root = tt.root
-        lnl, _ = root_loglik(model, site, u2[root], s2[root])
-        return lnl
+    if steps is not None:
+        from .kernels.pruning import fused_compute_loglik
+
+        def true_lnl(b):
+            lnl, _ = fused_compute_loglik(
+                tree.with_blen(b), model, site, steps, n_slots
+            )
+            return lnl
+    else:
+        def true_lnl(b):
+            tt = tree.with_blen(b)
+            trans2 = branch_transition_mats(model, tt.blen)
+            u2, s2 = upward_pass(tt, trans2, tips)
+            root = tt.root
+            lnl, _ = root_loglik(model, site, u2[root], s2[root])
+            return lnl
 
     def sweep(carry):
         blen, last_lnl, it, _ = carry
@@ -321,7 +337,7 @@ def optimize_all_branches(
             tree.blen,
             lnl0,
             jnp.asarray(0),
-            jnp.asarray(jnp.inf, dtype=tree.blen.dtype),
+            jnp.asarray(jnp.inf, dtype=lnl0.dtype),
         ),
     )
     return tree.with_blen(blen), lnl

@@ -69,11 +69,10 @@ def _loglik_bwd(res, cotangents):
     tree, model, site = res
     g_total, g_pat = cotangents
 
-    # recompute both sweeps (rematerialization)
+    # recompute the upward sweep (rematerialization)
     trans = branch_transition_mats(model, tree.blen)
     tips = tip_partials(site, model.ncat)
     up, up_scale, mb, msc = upward_pass(tree, trans, tips, return_mailbox=True)
-    out, out_scale = downward_pass(tree, trans, mb, msc, model.state_freq)
     root = tree.root
 
     # root-level vjp: props, state_freq, p_invar, pattern_freq (and lnl_p)
@@ -84,19 +83,18 @@ def _loglik_bwd(res, cotangents):
     (lnl_total, lnl_p), root_vjp = jax.vjp(root_fn, model, site.pattern_freq)
     model_bar, pattern_freq_bar = root_vjp((g_total, g_pat))
 
-    # per-pattern weight: d(outputs)/d lnl_p pulled back
-    w_p = g_total * site.pattern_freq + g_pat  # [P]
+    # per-pattern weight: d(outputs)/d lnl_p pulled back (g_total may be
+    # f64 from the high-precision total; the backward runs in f32)
+    w_p = (
+        g_total.astype(site.pattern_freq.dtype) * site.pattern_freq + g_pat
+    )  # [P]
 
-    # edge-level: trans_bar[e,c,s,t] = sum_p w_c O U * exp(scales - lnl_p) * w_p
-    factor = jnp.exp(
-        jnp.clip(out_scale + up_scale - lnl_p[None, :], max=80.0)
-    ) * w_p[None, :]  # [E, P]
-    # zero out the root row (no edge above the root)
-    factor = factor.at[root].set(0.0)
-    trans_bar = jnp.einsum(
-        "ecsp,ectp,ep,c->ecst", out, up, factor, model.props,
-        precision=HIGHEST,
-    )[: tree.n_slots]  # drop schedule padding rows (out==0 there anyway)
+    # edge-level cotangents accumulated INSIDE the downward sweep (the
+    # outside partials are consumed row-by-row, never materialized)
+    trans_bar = _downward_trans_bar(
+        tree, trans, mb, msc, up, up_scale, model.props, model.state_freq,
+        lnl_p, w_p,
+    )[: tree.n_slots]
 
     # pull trans_bar back through P(t) construction -> blen + eigen + rates
     def trans_fn(model_, blen_):
@@ -127,6 +125,129 @@ def _loglik_bwd(res, cotangents):
 def _int_zero(x):
     """float0 cotangent for integer-valued primal arrays."""
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+_FUSED_CACHE = {}
+
+
+def loglik_fused_fn(n_slots: int, tile: int = 256):
+    """custom-VJP likelihood whose FORWARD runs the fused Pallas kernel.
+
+    The XLA forward streams ~4GB of mailbox/partial buffers through HBM
+    per call; inside optimizer loops (L-BFGS line searches) several such
+    computations are live at once, which overflowed HBM at 1000 taxa and
+    crashed the TPU worker.  The fused kernel's working set is a few MB
+    of VMEM, so value evaluations become nearly free; the backward is the
+    same analytic sweep as `loglik`.
+
+    Signature of the returned fn: (tree, model, site, steps) ->
+    (lnL_f64, site_lnl); `steps` is the device-numbered slot schedule
+    (kernels/schedule.py via kernels.pruning.device_slot_schedule)."""
+    key = (n_slots, tile)
+    if key in _FUSED_CACHE:
+        return _FUSED_CACHE[key]
+
+    from .kernels.pruning import fused_compute_loglik
+
+    @jax.custom_vjp
+    def f(tree, model, site, steps):
+        return fused_compute_loglik(tree, model, site, steps, n_slots, tile)
+
+    def fwd(tree, model, site, steps):
+        out = f(tree, model, site, steps)
+        return out, (tree, model, site, steps)
+
+    def bwd(res, cotangents):
+        tree, model, site, steps = res
+        tree_bar, model_bar, site_bar = _loglik_bwd((tree, model, site),
+                                                    cotangents)
+        return tree_bar, model_bar, site_bar, _int_zero(steps)
+
+    f.defvjp(fwd, bwd)
+    _FUSED_CACHE[key] = f
+    return f
+
+
+def _downward_trans_bar(
+    tree, trans, mb, msc, up, up_scale, props, state_freq, lnl_p, w_p
+):
+    """Downward sweep fused with per-edge transition-matrix cotangents.
+
+    For edge e (child of a row node):
+      trans_bar[e,c,s,t] = w_c sum_p O_e[c,s,p] U_e[c,t,p]
+                             * exp(scaleO_e + scaleU_e - lnl_p) * w_p
+    The O rows are computed and consumed in-row; only D (the recursion
+    state) and the [2N,C,S,S] cotangent accumulator are carried.  Reads
+    from the carry are contiguous dynamic slices; writes are scatters —
+    the in-place pattern (see upward_pass docstring).
+    """
+    from .likelihood import SCHED_WIDTH, SCALE_TINY, pad_trans
+
+    W = SCHED_WIDTH
+    n_slots = tree.n_slots
+    C, S = trans.shape[1], trans.shape[2]
+    P = mb.shape[4]
+    dtype = trans.dtype
+    root = tree.root
+    dummy = tree.dummy
+
+    trans_p = pad_trans(trans, W)
+    children_p = jnp.concatenate(
+        [tree.children, jnp.full((W, 2), dummy, tree.children.dtype)]
+    )
+
+    d = jnp.zeros((n_slots + W, C, S, P), dtype=dtype)
+    ds = jnp.zeros((n_slots + W, P), dtype=dtype)
+    d = d.at[root].set(
+        jnp.broadcast_to(state_freq[None, :, None], (C, S, P)).astype(dtype)
+    )
+    tb = jnp.zeros((n_slots + W, C, S, S), dtype=dtype)
+
+    def row_step(j, carry):
+        d, ds, tb = carry
+        i = tree.n_rows - 1 - j
+        s = tree.row_start[i]
+        ln = tree.row_len[i]
+        z = jnp.zeros((), s.dtype)
+        du = jax.lax.dynamic_slice(d, (s, z, z, z), (W, C, S, P))
+        dsu = jax.lax.dynamic_slice(ds, (s, z), (W, P))
+        blk = jax.lax.dynamic_slice(mb, (s, z, z, z, z), (W, 2, C, S, P))
+        sbk = jax.lax.dynamic_slice(msc, (s, z, z), (W, 2, P))
+        valid = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)[:, 0] < ln
+        ch = jax.lax.dynamic_slice(children_p, (s, z), (W, 2))
+        l = jnp.where(valid, ch[:, 0], dummy)
+        r = jnp.where(valid, ch[:, 1], dummy)
+
+        def side(child_ids, m_sib, s_sib):
+            y = du * m_sib  # O_child (unnormalized) [W,C,S,P]
+            mx = jnp.maximum(jnp.max(y, axis=(1, 2)), SCALE_TINY)
+            o = y / mx[:, None, None, :]
+            osc = dsu + s_sib + jnp.log(mx)
+            u_c = up[child_ids]  # gather from non-carried input: fine
+            us_c = up_scale[child_ids]
+            fac = jnp.exp(
+                jnp.clip(osc + us_c - lnl_p[None, :], max=80.0)
+            ) * w_p[None, :]
+            tbar = jnp.einsum(
+                "wcsp,wctp,wp,c->wcst", o, u_c, fac, props,
+                precision=HIGHEST,
+            )
+            d_c = jnp.einsum(
+                "wcst,wcsp->wctp", trans_p[child_ids], o, precision=HIGHEST
+            )
+            return o, osc, tbar, d_c
+
+        ol, ol_s, tb_l, dl = side(l, blk[:, 1], sbk[:, 1])
+        or_, or_s, tb_r, dr = side(r, blk[:, 0], sbk[:, 0])
+        d = d.at[l].set(dl).at[r].set(dr)
+        ds = ds.at[l].set(ol_s).at[r].set(or_s)
+        tb = tb.at[l].set(tb_l).at[r].set(tb_r)
+        return d, ds, tb
+
+    _, _, tb = jax.lax.fori_loop(0, tree.n_rows, row_step, (d, ds, tb))
+    # dummy/padding rows absorbed garbage; zero them
+    tb = tb.at[dummy].set(0.0)
+    return tb
 
 
 loglik.defvjp(_loglik_fwd, _loglik_bwd)

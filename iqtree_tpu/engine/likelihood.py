@@ -316,7 +316,12 @@ def root_loglik(
         jnp.logaddexp(lnl_var, jnp.log(jnp.maximum(ptn_invar, SCALE_TINY))),
         lnl_var,
     )
-    total = jnp.sum(site.pattern_freq * lnl)
+    # accumulate the total in f64 (requires jax x64 enabled; arrays stay
+    # f32): at |lnL| ~ 1e6+ the f32 resolution (0.25) is coarser than
+    # every convergence tolerance in the system
+    total = jnp.sum(
+        site.pattern_freq.astype(jnp.float64) * lnl.astype(jnp.float64)
+    )
     return total, lnl
 
 

@@ -110,7 +110,9 @@ def _theta_lnl_newton(
     t = jax.lax.fori_loop(0, newton_iters, newton, t0)
     denom, _, _ = derivs(t)
     site_lnl = scale + jnp.log(denom)
-    lnl = jnp.sum(site.pattern_freq * site_lnl)
+    lnl = jnp.sum(
+        site.pattern_freq.astype(jnp.float64) * site_lnl.astype(jnp.float64)
+    )
     return t, lnl, site_lnl
 
 

@@ -58,7 +58,13 @@ def _safe_eigh_jvp(primals, tangents):
     dlam = jnp.diagonal(m)
     diff = lam[None, :] - lam[:, None]  # diff[i,j] = lam_j - lam_i
     scale = jnp.maximum(jnp.max(jnp.abs(lam)), 1e-30)
-    degenerate = jnp.abs(diff) < 1e-9 * scale
+    # dtype-aware degeneracy cutoff: numerically-degenerate eigenvalues
+    # differ by O(eps * scale) (e.g. ~1e-7 in f32 at the all-equal-rates
+    # starting point), and 1/diff then injects O(1/eps) garbage into the
+    # gradient; anything below ~eps^0.75 cannot carry meaningful signal.
+    eps = jnp.finfo(lam.dtype).eps
+    tol = 30.0 * eps ** 0.75 * scale
+    degenerate = jnp.abs(diff) < tol
     f = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, diff))
     du = u @ (f * m)
     return (lam, u), (dlam, du)

@@ -194,19 +194,35 @@ def fit_model_step(
     site: SiteData,
     params: Dict[str, jnp.ndarray],
     max_iters: int = 60,
+    steps=None,
+    n_slots: int = 0,
 ):
     """One L-BFGS solve of all model parameters (branch lengths fixed).
     Jit-friendly; analogue of the model/rate halves of
-    ModelFactory::optimizeParameters."""
+    ModelFactory::optimizeParameters.
+
+    With a slot schedule (steps, n_slots) the likelihood runs through the
+    fused Pallas kernel — both the L-BFGS value evaluations and the
+    forward of value_and_grad — keeping the optimizer loop's live HBM
+    footprint to the backward sweep alone."""
+    if steps is not None:
+        from ..engine.grad import loglik_fused_fn
+
+        lfn = loglik_fused_fn(n_slots)
+
+        def _lnl(ma):
+            l, _ = lfn(tree, ma, site, steps)
+            return l
+    else:
+        def _lnl(ma):
+            l, _ = loglik(tree, ma, site)
+            return l
+
     if not params:
-        ma = opt.build(params)
-        lnl, _ = loglik(tree, ma, site)
-        return params, lnl
+        return params, _lnl(opt.build(params))
 
     def negloglik(p):
-        ma = opt.build(p)
-        lnl, _ = loglik(tree, ma, site)
-        return -lnl
+        return -_lnl(opt.build(p))
 
     p, val, _ = lbfgs_minimize(negloglik, params, max_iters=max_iters)
     return p, -val
@@ -221,6 +237,8 @@ def optimize_model_and_branches(
     tol: float = 0.01,
     branch_sweeps: int = 100,
     model_iters: int = 60,
+    steps=None,
+    n_slots: int = 0,
 ):
     """Alternating (model L-BFGS | branch Newton) until lnL gain < tol,
     mirroring the reference's alternation loop (modelfactory.cpp:937).
@@ -231,14 +249,17 @@ def optimize_model_and_branches(
 
     # one compiled executable per (optimizer, data shape, loop sizes):
     # repeated calls (and warmup vs timed runs) reuse the same jit entry
-    key = ("round", site.tip_codes.shape, branch_sweeps, model_iters)
+    key = ("round", site.tip_codes.shape, branch_sweeps, model_iters, n_slots)
     round_jit = opt._jit_cache.get(key)
     if round_jit is None:
 
-        def _round(t, p):
-            p, _ = fit_model_step(opt, t, site, p, model_iters)
+        def _round(t, p, st):
+            p, _ = fit_model_step(opt, t, site, p, model_iters,
+                                  steps=st, n_slots=n_slots)
             ma = opt.build(p)
-            t, lnl = optimize_all_branches(t, ma, site, n_sweeps=branch_sweeps)
+            t, lnl = optimize_all_branches(
+                t, ma, site, n_sweeps=branch_sweeps, steps=st, n_slots=n_slots
+            )
             return t, p, lnl
 
         round_jit = jax.jit(_round)
@@ -247,7 +268,7 @@ def optimize_model_and_branches(
     lnl_prev = -np.inf
     lnl = -np.inf
     for it in range(rounds):
-        tree, params, lnl = round_jit(tree, params)
+        tree, params, lnl = round_jit(tree, params, steps)
         if float(lnl) - lnl_prev < tol and it > 0:
             break
         lnl_prev = float(lnl)

@@ -59,6 +59,10 @@ class SearchParams:
     min_correlation: float = 0.99
     max_boot_iterations: int = 1000
     checkpoint: object = None  # utils.checkpoint.Checkpoint for resume
+    # standard bootstrap support: replace pattern frequencies (the
+    # resampled alignment has the same patterns with new weights, so the
+    # same compiled programs serve every replicate)
+    pattern_freq: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -95,6 +99,10 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     subst, rate = parse_model_string(params.model, aln)
     opt = ModelOptimizer(subst, rate, dtype=dtype)
     site = SiteData.from_alignment(aln, dtype)
+    if params.pattern_freq is not None:
+        site = site._replace(
+            pattern_freq=jnp.asarray(params.pattern_freq, dtype)
+        )
     mparams = opt.init_params()
 
     # ---- initial tree -------------------------------------------------

@@ -112,14 +112,17 @@ def lbfgs_minimize(
         d = jnp.where(dg < 0, d, -g)
         dg = jnp.minimum(dg, -jnp.dot(g, g))
 
-        # Armijo backtracking: f(x + t d) <= f + c1 t (d.g)
+        # Armijo backtracking: f(x + t d) <= f + c1 t (d.g).
+        # NaN objective values (wild trial points) must count as failures —
+        # NaN comparisons are False and would otherwise exit the loop.
         c1 = 1e-4
+
+        def fails(t, fn):
+            return jnp.logical_or(jnp.isnan(fn), fn > f + c1 * t * dg)
 
         def bt_cond(s):
             t, fn, j = s
-            return jnp.logical_and(
-                j < max_backtracks, fn > f + c1 * t * dg
-            )
+            return jnp.logical_and(j < max_backtracks, fails(t, fn))
 
         def bt_body(s):
             t, _, j = s
@@ -127,10 +130,15 @@ def lbfgs_minimize(
             fn = fun(unravel(x + t * d))
             return t, fn, j + 1
 
-        t0 = jnp.asarray(1.0, dtype)
+        # cap the very first trial step: before any curvature history the
+        # raw gradient direction can be enormous
+        dnorm = jnp.linalg.norm(d)
+        t0 = jnp.where(
+            k == 0, jnp.minimum(1.0, 1.0 / jnp.maximum(dnorm, 1e-12)), 1.0
+        ).astype(dtype)
         f1 = fun(unravel(x + t0 * d))
         t, f_new, _ = jax.lax.while_loop(bt_cond, bt_body, (t0, f1, 0))
-        accepted = f_new <= f + c1 * t * dg
+        accepted = jnp.logical_not(fails(t, f_new))
         x_new = jnp.where(accepted, x + t * d, x)
         f_val, g_new = vg(x_new)
         s_vec = x_new - x
