@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..engine.distances import ml_distances
+from ..engine.parsimony import parsimony_stepwise_tree
 from ..engine.likelihood import ModelArrays, SiteData, TreeArrays
 from ..io.alignment import Alignment
 from ..models.factory import parse_model_string
@@ -155,7 +156,9 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
             t = best_tree.copy()
             random_nni_perturb(t, n_perturb, rng)
         else:
-            t = random_tree(n_taxa, rng)
+            # randomized stepwise-addition parsimony trees, like the
+            # reference's nParTrees in initCandidateTreeSet (iqtree.cpp:695)
+            t = parsimony_stepwise_tree(aln, rng)
         init_variants.append(t)
     # quick-score variants by branch-length optimization only
     scored = []
