@@ -61,7 +61,22 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from .io.alignment import read_alignment
 
-    aln = read_alignment(cfg.aln_file, seq_type=cfg.seq_type)
+    seq_type = cfg.seq_type
+    gcode = cfg.genetic_code
+    if seq_type and seq_type.upper().startswith("CODON"):
+        # -st CODON / CODON2 / ... (reference: -st CODON with code id)
+        if len(seq_type) > 5:
+            gcode = int(seq_type[5:])
+        seq_type = "CODON"
+
+    if cfg.partition_file:
+        rc = _run_partitioned(cfg, seq_type, gcode, dtype, log, command, t0)
+        ckp.mark_finished("all")
+        ckp.dump(force=True)
+        _finish(prefix, log_lines, t0, log)
+        return rc
+
+    aln = read_alignment(cfg.aln_file, seq_type=seq_type, genetic_code=gcode)
     log(
         f"Alignment: {aln.n_taxa} sequences, {aln.n_sites} sites, "
         f"{aln.n_patterns} patterns ({aln.states.seq_type})"
@@ -147,7 +162,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         bt = test_all_branches(
             TreeArrays.from_tree(tree, dtype),
             ma2,
-            SiteData.from_alignment(aln, dtype),
+            SiteData.from_alignment(aln, dtype, asc=subst2.asc),
             pattern_lnl,
             lnl,
             aln.n_sites,
@@ -213,6 +228,72 @@ def main(argv: Optional[List[str]] = None) -> int:
     return 0
 
 
+def _run_partitioned(cfg, seq_type, gcode, dtype, log, command, t0):
+    """Partitioned analysis (-sp/-spp/-q), phylosupertree.cpp analogue."""
+    import time as _time
+
+    from .io.superalignment import SuperAlignment
+    from .search.driver import SearchParams
+    from .search.super_driver import run_search_partitioned
+
+    prefix = cfg.out_prefix
+    saln = SuperAlignment.from_files(
+        cfg.aln_file, cfg.partition_file, seq_type, gcode
+    )
+    log(
+        f"Partitioned alignment: {saln.n_taxa} sequences, "
+        f"{saln.n_parts} partitions, {saln.n_sites} sites "
+        f"({cfg.partition_mode} branch lengths)"
+    )
+    sp = SearchParams(
+        model=cfg.model,
+        seed=cfg.seed,
+        n_init_trees=cfg.n_init_trees,
+        n_top_init=cfg.n_top_init,
+        pers=cfg.pers,
+        unsuccess_iteration=cfg.unsuccess_iteration,
+        fixed_iterations=cfg.n_iterations,
+        max_seconds=cfg.max_seconds,
+        dtype=dtype,
+        start_tree=open(cfg.user_tree).read() if cfg.user_tree else None,
+        log=log,
+    )
+    res = run_search_partitioned(saln, sp, mode=cfg.partition_mode)
+
+    with open(prefix + ".treefile", "w") as f:
+        f.write(res.best_tree.to_newick(saln.names) + "\n")
+    # per-partition report
+    from .io.report import write_report
+
+    extra = ["PARTITION SUMMARY", "-----------------",
+             " ID  Name           Sites  Model            Rate-scale"]
+    for k, d in enumerate(saln.defs):
+        (s_k, r_k) = res.models[k]
+        extra.append(
+            f" {k + 1:<3} {d.name:<14} {saln.partitions[k].n_sites:<6} "
+            f"{s_k.name}{r_k.name_suffix():<16} {res.scales[k]:.4f}"
+        )
+    write_report(
+        prefix + ".iqtree",
+        saln.partitions[0],
+        res.models[0][0],
+        res.models[0][1],
+        res.best_tree,
+        res.best_lnl,
+        command,
+        res.wall_time,
+        iterations=res.iterations,
+        extra_sections=["\n".join(extra)],
+    )
+    log(f"BEST SCORE FOUND : {res.best_lnl:.4f}")
+    log(f"Total wall-clock time used: {_time.time() - t0:.3f} sec")
+    log("")
+    log(f"  IQ-TREE report:                {prefix}.iqtree")
+    log(f"  Maximum-likelihood tree:       {prefix}.treefile")
+    log(f"  Screen log file:               {prefix}.log")
+    return 0
+
+
 def _finish(prefix, log_lines, t0, log):
     with open(prefix + ".log", "w") as f:
         f.write("\n".join(log_lines) + "\n")
@@ -234,7 +315,7 @@ def _run_fixed_topology(cfg, aln, model_str, dtype, log):
     tree = PhyloTree.from_newick(open(cfg.user_tree).read(), aln.names, rng=rng)
     subst, rate = parse_model_string(model_str, aln)
     opt = ModelOptimizer(subst, rate, dtype=dtype)
-    site = SiteData.from_alignment(aln, dtype)
+    site = SiteData.from_alignment(aln, dtype, asc=subst.asc)
     ta = TreeArrays.from_tree(tree, dtype)
     if cfg.fix_branch_lengths:
         params = opt.init_params()
@@ -275,7 +356,7 @@ def _run_search(cfg, aln, model_str, dtype, log, ckp=None):
         checkpoint=ckp,
     )
     res = run_search(aln, sp)
-    site = SiteData.from_alignment(aln, dtype)
+    site = SiteData.from_alignment(aln, dtype, asc=res.subst.asc)
     ma = jax.jit(res.model_opt.build)(res.params_vec)
     ta = TreeArrays.from_tree(res.best_tree, dtype)
     _, pattern_lnl = jax.jit(loglik)(ta, ma, site)

@@ -16,7 +16,8 @@ from typing import Optional
 @dataclass
 class RunConfig:
     aln_file: str = ""
-    seq_type: Optional[str] = None  # -st DNA/AA/BIN/MORPH
+    seq_type: Optional[str] = None  # -st DNA/AA/BIN/MORPH/CODON[n]
+    genetic_code: int = 1  # CODONn suffix
     model: Optional[str] = None  # -m
     prefix: Optional[str] = None  # -pre
     user_tree: Optional[str] = None  # -t/-te file
@@ -40,6 +41,8 @@ class RunConfig:
     n_top_init: int = 5  # -ntop (reference 20)
     f64: bool = False  # --f64 : full double precision
     float32: bool = True
+    partition_file: Optional[str] = None  # -sp/-spp/-q/-spj file
+    partition_mode: Optional[str] = None  # unlinked|proportional|joint
 
     @property
     def out_prefix(self) -> str:
@@ -54,7 +57,8 @@ def parse_args(argv) -> RunConfig:
     )
     p.add_argument("-s", dest="aln_file", required=True, help="alignment file")
     p.add_argument("-st", dest="seq_type", default=None,
-                   help="sequence type (DNA/AA/BIN/MORPH)")
+                   help="sequence type (DNA/AA/BIN/MORPH/CODON[n], "
+                        "n = NCBI genetic code id)")
     p.add_argument("-m", dest="model", default=None,
                    help="model string, e.g. GTR+G, HKY+I+G, LG+G, TEST")
     p.add_argument("-pre", dest="prefix", default=None, help="output prefix")
@@ -86,6 +90,13 @@ def parse_args(argv) -> RunConfig:
     p.add_argument("-ntop", dest="ntop", type=int, default=5)
     p.add_argument("--f64", dest="f64", action="store_true",
                    help="compute in float64 (slow on TPU; for parity runs)")
+    p.add_argument("-sp", dest="sp", default=None, metavar="FILE",
+                   help="partition file; edge-unlinked (separate branch "
+                        "lengths per partition)")
+    p.add_argument("-spp", dest="spp", default=None, metavar="FILE",
+                   help="partition file; edge-linked proportional")
+    p.add_argument("-q", "-spj", dest="spj", default=None, metavar="FILE",
+                   help="partition file; edge-linked equal (joint)")
     a = p.parse_args(argv)
 
     model = a.model
@@ -119,4 +130,10 @@ def parse_args(argv) -> RunConfig:
         n_init_trees=a.ninit,
         n_top_init=a.ntop,
         f64=a.f64,
+        partition_file=a.sp or a.spp or a.spj,
+        partition_mode=(
+            "unlinked" if a.sp else
+            "proportional" if a.spp else
+            "joint" if a.spj else None
+        ),
     )

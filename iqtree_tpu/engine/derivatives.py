@@ -93,7 +93,7 @@ def downward_pass(
     d = jnp.zeros((n_slots + W, C, S, P), dtype=dtype)
     ds = jnp.zeros((n_slots + W, P), dtype=dtype)
     d = d.at[root].set(
-        jnp.broadcast_to(state_freq[None, :, None], (C, S, P)).astype(dtype)
+        jnp.broadcast_to(state_freq[:, :, None], (C, S, P)).astype(dtype)
     )
 
     def row_step(j, carry):
@@ -156,14 +156,13 @@ def compute_thetas(
 ) -> ThetaBuffers:
     """theta[v,c,j,p] = (V^T O[v])_j * (V^-1 U[v])_j for every branch v
     (batched analogue of computeThetaEigen, phylokernel.h:485-540)."""
-    vt_o = jnp.einsum("sj,vcsp->vcjp", model.eigvec, out, precision=HIGHEST)
-    vi_u = jnp.einsum("js,vcsp->vcjp", model.inv_eigvec, up, precision=HIGHEST)
+    vt_o = jnp.einsum("csj,vcsp->vcjp", model.eigvec, out, precision=HIGHEST)
+    vi_u = jnp.einsum("cjs,vcsp->vcjp", model.inv_eigvec, up, precision=HIGHEST)
     theta = vt_o * vi_u
     scale = up_scale + out_scale
     S = model.num_states
-    pi_ext = jnp.concatenate(
-        [model.state_freq, jnp.ones((1,), model.state_freq.dtype)]
-    )
+    mean_freq = model.mean_freq
+    pi_ext = jnp.concatenate([mean_freq, jnp.ones((1,), mean_freq.dtype)])
     w = jnp.where(site.const_state >= 0, pi_ext[jnp.clip(site.const_state, 0, S)], 0.0)
     return ThetaBuffers(theta, scale, model.p_invar * w)
 
@@ -178,7 +177,7 @@ def branch_lnl_derivs(
 
     Mirrors computeLikelihoodDervEigenSIMD + computeLikelihoodFromBuffer
     (phylokernel.h:485,1022) but batched over branches."""
-    lam_r = model.eigenvalues[None, :] * model.rates[:, None]  # [C, S(j)]
+    lam_r = model.eigenvalues * model.rates[:, None]  # [C, S(j)]
     # pad blen to the (padded) theta buffer length; outputs sliced back
     nv = blen.shape[0]
     blen_p = jnp.concatenate(
@@ -208,6 +207,20 @@ def branch_lnl_derivs(
     r2 = f2 / denom
     d1 = jnp.einsum("p,vp->v", site.pattern_freq, r1, precision=HIGHEST)
     d2 = jnp.einsum("p,vp->v", site.pattern_freq, r2 - r1 * r1, precision=HIGHEST)
+    # +ASC: total lnL gains -n*log(1-q(t)), q = sum_asc L_p(t); with
+    # q'  = sum_asc L_p r1_p and q'' = sum_asc L_p r2_p the chain rule gives
+    # the extra d1/d2 terms below (asc_mask==0 makes all of this vanish).
+    L_asc = site.asc_mask[None, :] * jnp.exp(
+        jnp.minimum(lnl_p, 0.0)
+    )  # [v,p], uncorrected likelihoods of unobserved constants
+    q = jnp.sum(L_asc, axis=1)
+    one_m_q = jnp.maximum(1.0 - q, 1e-10)
+    n_sites = jnp.sum(site.pattern_freq)
+    q1 = jnp.einsum("vp,vp->v", L_asc, r1, precision=HIGHEST)
+    q2 = jnp.einsum("vp,vp->v", L_asc, r2, precision=HIGHEST)
+    lnl = lnl - n_sites.astype(jnp.float64) * jnp.log(one_m_q).astype(jnp.float64)
+    d1 = d1 + n_sites * q1 / one_m_q
+    d2 = d2 + n_sites * (q2 / one_m_q + (q1 / one_m_q) ** 2)
     return lnl[:nv], d1[:nv], d2[:nv]
 
 

@@ -51,19 +51,21 @@ def ml_distances(
     rates, props = model.rates, model.props
 
     def pair_obj(n, t):
-        # p_mix[s,t'] = sum_c w_c P_c(t)[s,t']; derivative via Q P
-        expo = jnp.exp(lam[None, :] * (t * rates)[:, None])  # [C, S]
-        lamr = lam[None, :] * rates[:, None]
-        p0 = jnp.einsum("ij,cj,jk->ik", v, props[:, None] * expo, vinv,
-                        precision=HIGHEST)
-        p1 = jnp.einsum("ij,cj,jk->ik", v, props[:, None] * expo * lamr, vinv,
-                        precision=HIGHEST)
-        p2 = jnp.einsum("ij,cj,jk->ik", v, props[:, None] * expo * lamr ** 2,
-                        vinv, precision=HIGHEST)
-        joint = jnp.maximum(pi[:, None] * p0, 1e-300)
-        d1 = jnp.sum(n * pi[:, None] * p1 / joint)
-        r2 = pi[:, None] * p2 / joint
-        r1sq = (pi[:, None] * p1 / joint) ** 2
+        # joint[s,t'] = sum_c w_c pi_c[s] P_c(t)[s,t']; derivatives via
+        # extra lam_c factors (all per fused category)
+        expo = jnp.exp(lam * (t * rates)[:, None])  # [C, S]
+        lamr = lam * rates[:, None]
+        wpi = props[:, None] * pi  # [C, S] class weight x class freqs
+        joint = jnp.einsum("cij,cj,cjk,ci->ik", v, expo, vinv, wpi,
+                           precision=HIGHEST)
+        num1 = jnp.einsum("cij,cj,cjk,ci->ik", v, expo * lamr, vinv, wpi,
+                          precision=HIGHEST)
+        num2 = jnp.einsum("cij,cj,cjk,ci->ik", v, expo * lamr ** 2, vinv, wpi,
+                          precision=HIGHEST)
+        joint = jnp.maximum(joint, 1e-300)
+        d1 = jnp.sum(n * num1 / joint)
+        r2 = num2 / joint
+        r1sq = (num1 / joint) ** 2
         d2 = jnp.sum(n * (r2 - r1sq))
         return d1, d2
 
@@ -71,7 +73,7 @@ def ml_distances(
         # initial guess: observed proportion -> JC-ish correction
         total = jnp.maximum(n.sum(), 1e-30)
         pdiff = 1.0 - jnp.trace(n) / total
-        S = pi.shape[0]
+        S = pi.shape[-1]
         b = (S - 1.0) / S
         arg = jnp.maximum(1.0 - pdiff / b, 0.05)
         t0 = jnp.clip(-b * jnp.log(arg), MIN_BLEN, MAX_BLEN)

@@ -84,16 +84,30 @@ def _loglik_bwd(res, cotangents):
     model_bar, pattern_freq_bar = root_vjp((g_total, g_pat))
 
     # per-pattern weight: d(outputs)/d lnl_p pulled back (g_total may be
-    # f64 from the high-precision total; the backward runs in f32)
-    w_p = (
-        g_total.astype(site.pattern_freq.dtype) * site.pattern_freq + g_pat
-    )  # [P]
+    # f64 from the high-precision total; the backward runs in f32).
+    # With +ASC both outputs also depend on the raw lnl of the unobserved
+    # patterns through the correction scalar; using
+    # exp(lnl_corrected) = exp(lnl_raw)/(1-q), the extra pullback is
+    # (g_total*n + sum(g_pat)) * asc_mask * exp(lnl_corrected).
+    gt = g_total.astype(site.pattern_freq.dtype)
+    w_p = gt * site.pattern_freq + g_pat  # [P]
+    n_sites = jnp.sum(site.pattern_freq)
+    w_p = w_p + (gt * n_sites + jnp.sum(g_pat)) * site.asc_mask * jnp.exp(
+        jnp.minimum(lnl_p.astype(w_p.dtype), 30.0)
+    )
 
     # edge-level cotangents accumulated INSIDE the downward sweep (the
-    # outside partials are consumed row-by-row, never materialized)
+    # outside partials are consumed row-by-row, never materialized).
+    # The sweep's identity divides by the RAW per-pattern likelihood;
+    # undo the +ASC shift (raw = corrected + log(1-q), with
+    # 1-q = 1/(1+u), u = sum_asc exp(corrected)).
+    u_asc = jnp.sum(
+        site.asc_mask * jnp.exp(jnp.minimum(lnl_p.astype(w_p.dtype), 30.0))
+    )
+    lnl_raw = lnl_p - jnp.log1p(u_asc)
     trans_bar = _downward_trans_bar(
         tree, trans, mb, msc, up, up_scale, model.props, model.state_freq,
-        lnl_p, w_p,
+        lnl_raw, w_p,
     )[: tree.n_slots]
 
     # pull trans_bar back through P(t) construction -> blen + eigen + rates
@@ -118,6 +132,7 @@ def _loglik_bwd(res, cotangents):
         code_masks=jnp.zeros_like(site.code_masks),
         pattern_freq=pattern_freq_bar,
         const_state=_int_zero(site.const_state),
+        asc_mask=jnp.zeros_like(site.asc_mask),
     )
     return tree_bar, model_bar, site_bar
 
@@ -199,7 +214,7 @@ def _downward_trans_bar(
     d = jnp.zeros((n_slots + W, C, S, P), dtype=dtype)
     ds = jnp.zeros((n_slots + W, P), dtype=dtype)
     d = d.at[root].set(
-        jnp.broadcast_to(state_freq[None, :, None], (C, S, P)).astype(dtype)
+        jnp.broadcast_to(state_freq[:, :, None], (C, S, P)).astype(dtype)
     )
     tb = jnp.zeros((n_slots + W, C, S, S), dtype=dtype)
 

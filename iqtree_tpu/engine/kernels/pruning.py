@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 SCALE_TINY = 1e-30
 
 
-def _kernel(steps_ref, tips_ref, trans_ref, props_ref, freq_ref, invar_ref,
+def _kernel(steps_ref, tips_ref, trans_ref, rootw_ref, invar_ref,
             out_ref, slots_ref, sscale_ref, *, n_steps: int, n_taxa: int):
     C = trans_ref.shape[1]
     S = trans_ref.shape[2]
@@ -82,7 +82,7 @@ def _kernel(steps_ref, tips_ref, trans_ref, props_ref, freq_ref, invar_ref,
 
     root_slot = steps_ref[n_steps - 1, 4]
     x = slots_ref[root_slot]  # [C, S, T]
-    w = props_ref[0][:, None] * freq_ref[0][None, :]  # [C, S]
+    w = rootw_ref[...]  # [C, S] = props_c * pi_c
     mix = jnp.sum(w[:, :, None] * x, axis=(0, 1))  # [T]
     lnl = jnp.log(jnp.maximum(mix, SCALE_TINY)) + sscale_ref[root_slot]
     invar = invar_ref[0]
@@ -99,7 +99,7 @@ def fused_site_lnl(
     trans: jnp.ndarray,  # [2N, C, S, S]
     tipsP: jnp.ndarray,  # [N, S, P] tip partials
     props: jnp.ndarray,  # [C]
-    state_freq: jnp.ndarray,  # [S]
+    state_freq: jnp.ndarray,  # [C, S] per-class frequencies
     ptn_invar: jnp.ndarray,  # [P]
     tile: int = 256,
     interpret: bool = None,
@@ -123,8 +123,7 @@ def fused_site_lnl(
         in_specs=[
             pl.BlockSpec((n_taxa, S, tile), lambda i, steps: (0, 0, i)),
             pl.BlockSpec(trans.shape, lambda i, steps: (0, 0, 0, 0)),
-            pl.BlockSpec((1, C), lambda i, steps: (0, 0)),
-            pl.BlockSpec((1, S), lambda i, steps: (0, 0)),
+            pl.BlockSpec((C, S), lambda i, steps: (0, 0)),
             pl.BlockSpec((1, tile), lambda i, steps: (0, i)),
         ],
         out_specs=pl.BlockSpec((1, tile), lambda i, steps: (0, i)),
@@ -138,8 +137,7 @@ def fused_site_lnl(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, P_pad), dtype),
         interpret=interpret,
-    )(steps, tipsP, trans, props[None, :], state_freq[None, :],
-      ptn_invar[None, :])
+    )(steps, tipsP, trans, props[:, None] * state_freq, ptn_invar[None, :])
     return out[0, :P]
 
 
@@ -170,6 +168,9 @@ def fused_compute_loglik(tree_arrays, model, site, steps, n_slots, tile=256):
         jnp.asarray(steps), n_slots, trans, tips, model.props,
         model.state_freq, ptn_invar, tile=tile,
     )
+    from ..likelihood import asc_correction
+
+    site_lnl = site_lnl - asc_correction(site, site_lnl)
     # f64 total (matches root_loglik): f32 resolution at |lnL| ~ 1e6+ is
     # coarser than the optimizers' tolerances
     total = jnp.sum(

@@ -134,56 +134,142 @@ class TreeArrays(NamedTuple):
 
 
 class ModelArrays(NamedTuple):
-    """Device view of (substitution model x rate heterogeneity)."""
+    """Device view of (substitution model x rate heterogeneity).
 
-    eigenvalues: jnp.ndarray  # [S]
-    eigvec: jnp.ndarray  # [S, S]
-    inv_eigvec: jnp.ndarray  # [S, S]
-    state_freq: jnp.ndarray  # [S]
+    All eigen-data carries a leading fused category axis C = (mixture
+    classes x rate classes); non-mixture models store C identical copies
+    (the reference's fused_mix_rate layout, phylotreesse.cpp:99-136), so
+    ONE engine serves plain, +G/+R, and mixture models alike."""
+
+    eigenvalues: jnp.ndarray  # [C, S]
+    eigvec: jnp.ndarray  # [C, S, S]
+    inv_eigvec: jnp.ndarray  # [C, S, S]
+    state_freq: jnp.ndarray  # [C, S] per-class root/stationary frequencies
     rates: jnp.ndarray  # [C]
     props: jnp.ndarray  # [C]
     p_invar: jnp.ndarray  # scalar
 
     @property
     def num_states(self) -> int:
-        return self.eigenvalues.shape[0]
+        return self.eigenvalues.shape[-1]
 
     @property
     def ncat(self) -> int:
         return self.rates.shape[0]
 
+    @property
+    def mean_freq(self) -> jnp.ndarray:
+        """[S] class-weighted stationary frequencies (for the invariable
+        class and reporting)."""
+        w = self.props / jnp.maximum(self.props.sum(), 1e-12)
+        return jnp.einsum("c,cs->s", w, self.state_freq)
+
     @classmethod
     def from_model(
-        cls, subst: ReversibleModel, rate: RateModel, dtype=jnp.float32
+        cls, subst, rate: RateModel, dtype=jnp.float32
     ) -> "ModelArrays":
+        from ..models.mixture import MixtureModel
+
+        if isinstance(subst, MixtureModel):
+            return cls.from_mixture(subst, rate, dtype)
         lam, v, vinv = subst.eigen()
         r, w = rate.category_rates()
+        C = r.shape[0]
+        S = lam.shape[0]
         return cls(
-            eigenvalues=jnp.asarray(lam, dtype=dtype),
-            eigvec=jnp.asarray(v, dtype=dtype),
-            inv_eigvec=jnp.asarray(vinv, dtype=dtype),
-            state_freq=jnp.asarray(subst.state_freq, dtype=dtype),
+            eigenvalues=jnp.broadcast_to(
+                jnp.asarray(lam, dtype=dtype), (C, S)
+            ),
+            eigvec=jnp.broadcast_to(jnp.asarray(v, dtype=dtype), (C, S, S)),
+            inv_eigvec=jnp.broadcast_to(
+                jnp.asarray(vinv, dtype=dtype), (C, S, S)
+            ),
+            state_freq=jnp.broadcast_to(
+                jnp.asarray(subst.state_freq, dtype=dtype), (C, S)
+            ),
             rates=jnp.asarray(r, dtype=dtype),
             props=jnp.asarray(w, dtype=dtype),
             p_invar=jnp.asarray(rate.p_invar, dtype=dtype),
         )
 
+    @classmethod
+    def from_mixture(cls, mix, rate: RateModel, dtype=jnp.float32):
+        """Fused (mixture x rate) category axis.  With
+        mix.fused_with_rate (LG4M-style `*G4`), class m pairs with rate
+        class m (C = M); otherwise C = M x R with m-major ordering."""
+        lam_m, v_m, vinv_m, freq_m = mix.eigen_all()  # [M,S], [M,S,S], ...
+        r, w = rate.category_rates()
+        M, S = lam_m.shape
+        R = r.shape[0]
+        comp_rate = np.asarray(mix.comp_rates, dtype=np.float64)  # [M]
+        if mix.fused_with_rate:
+            if M != R:
+                raise ValueError(
+                    f"fused mixture has {M} classes but rate model has {R}"
+                )
+            rates = np.asarray(r) * comp_rate
+            props = np.asarray(w) * 0 + np.asarray(mix.weights) * np.asarray(w).sum()
+            # fused: weights are the mixture weights scaled by the total
+            # non-invariant mass
+            eigenvalues, eigvec, inv_eigvec, state_freq = lam_m, v_m, vinv_m, freq_m
+        else:
+            rates = (np.asarray(r)[None, :] * comp_rate[:, None]).reshape(-1)
+            props = (
+                np.asarray(mix.weights)[:, None] * np.asarray(w)[None, :]
+            ).reshape(-1)
+            eigenvalues = np.repeat(lam_m, R, axis=0)
+            eigvec = np.repeat(v_m, R, axis=0)
+            inv_eigvec = np.repeat(vinv_m, R, axis=0)
+            state_freq = np.repeat(freq_m, R, axis=0)
+        return cls(
+            eigenvalues=jnp.asarray(eigenvalues, dtype=dtype),
+            eigvec=jnp.asarray(eigvec, dtype=dtype),
+            inv_eigvec=jnp.asarray(inv_eigvec, dtype=dtype),
+            state_freq=jnp.asarray(state_freq, dtype=dtype),
+            rates=jnp.asarray(rates, dtype=dtype),
+            props=jnp.asarray(props, dtype=dtype),
+            p_invar=jnp.asarray(rate.p_invar, dtype=dtype),
+        )
+
 
 class SiteData(NamedTuple):
-    """Device view of the pattern-compressed alignment."""
+    """Device view of the pattern-compressed alignment.
+
+    Ascertainment-bias correction (+ASC, Lewis 2001): the S unobservable
+    constant patterns are appended to the pattern axis with zero
+    pattern_freq and asc_mask=1 (the reference's `unobserved_ptns`,
+    /root/reference/model/modelfactory.h:212, modelfactory.cpp:355-368);
+    every reduction then conditions on variability via
+    lnl_p := lnl_p - log(1 - sum_asc exp(lnl))."""
 
     tip_codes: jnp.ndarray  # [N_taxa, P] int32
     code_masks: jnp.ndarray  # [n_codes, S]
     pattern_freq: jnp.ndarray  # [P]
     const_state: jnp.ndarray  # [P] int32: -1 | state | S (all-unknown)
+    asc_mask: jnp.ndarray  # [P] 1.0 on appended unobserved-constant patterns
 
     @classmethod
-    def from_alignment(cls, aln, dtype=jnp.float32) -> "SiteData":
+    def from_alignment(cls, aln, dtype=jnp.float32, asc: bool = False) -> "SiteData":
+        tip_codes = np.asarray(aln.patterns)
+        pattern_freq = np.asarray(aln.pattern_freq, dtype=np.float64)
+        const_state = np.asarray(aln.const_state)
+        asc_mask = np.zeros(tip_codes.shape[1], dtype=np.float64)
+        if asc:
+            S = aln.num_states
+            N = tip_codes.shape[0]
+            const_cols = np.tile(np.arange(S, dtype=tip_codes.dtype), (N, 1))
+            tip_codes = np.concatenate([tip_codes, const_cols], axis=1)
+            pattern_freq = np.concatenate([pattern_freq, np.zeros(S)])
+            const_state = np.concatenate(
+                [const_state, np.arange(S, dtype=const_state.dtype)]
+            )
+            asc_mask = np.concatenate([asc_mask, np.ones(S)])
         return cls(
-            tip_codes=jnp.asarray(aln.patterns),
+            tip_codes=jnp.asarray(tip_codes),
             code_masks=jnp.asarray(aln.states.code_masks, dtype=dtype),
-            pattern_freq=jnp.asarray(aln.pattern_freq, dtype=dtype),
-            const_state=jnp.asarray(aln.const_state),
+            pattern_freq=jnp.asarray(pattern_freq, dtype=dtype),
+            const_state=jnp.asarray(const_state),
+            asc_mask=jnp.asarray(asc_mask, dtype=dtype),
         )
 
 
@@ -303,12 +389,13 @@ def root_loglik(
     in log space (reference adds ptn_invar linearly and skips scaling of
     constant patterns, phylokernel.h:617)."""
     S = model.num_states
-    mix = jnp.einsum("c,s,csp->p", model.props, model.state_freq, root_partial)
+    mix = jnp.einsum("c,cs,csp->p", model.props, model.state_freq, root_partial)
     mix = jnp.maximum(mix, SCALE_TINY)
     lnl_var = root_scale + jnp.log(mix)
     # ptn_invar[p] = p_inv * (1 if const==S else pi[const] if const>=0 else 0)
     const = site.const_state
-    pi_ext = jnp.concatenate([model.state_freq, jnp.ones((1,), model.state_freq.dtype)])
+    mean_freq = model.mean_freq
+    pi_ext = jnp.concatenate([mean_freq, jnp.ones((1,), mean_freq.dtype)])
     w = jnp.where(const >= 0, pi_ext[jnp.clip(const, 0, S)], 0.0)
     ptn_invar = model.p_invar * w
     lnl = jnp.where(
@@ -316,6 +403,7 @@ def root_loglik(
         jnp.logaddexp(lnl_var, jnp.log(jnp.maximum(ptn_invar, SCALE_TINY))),
         lnl_var,
     )
+    lnl = lnl - asc_correction(site, lnl)
     # accumulate the total in f64 (requires jax x64 enabled; arrays stay
     # f32): at |lnL| ~ 1e6+ the f32 resolution (0.25) is coarser than
     # every convergence tolerance in the system
@@ -323,6 +411,15 @@ def root_loglik(
         site.pattern_freq.astype(jnp.float64) * lnl.astype(jnp.float64)
     )
     return total, lnl
+
+
+def asc_correction(site: SiteData, site_lnl: jnp.ndarray) -> jnp.ndarray:
+    """log(1 - q), q = sum over unobserved constant patterns of their
+    (uncorrected) likelihood; identically 0 without +ASC.  Shifting every
+    per-pattern lnl by this scalar makes any downstream weighted reduction
+    (total lnL, RELL rescoring, site-lnL output) Lewis-corrected."""
+    q = jnp.sum(site.asc_mask * jnp.exp(jnp.minimum(site_lnl, 0.0)))
+    return jnp.log1p(-jnp.minimum(q, 1.0 - 1e-10))
 
 
 def compute_loglik(

@@ -47,9 +47,9 @@ class NNIEval(NamedTuple):
 
 def _pmat(model: ModelArrays, t) -> jnp.ndarray:
     """P(t * r_c): [C, S, S] for a scalar branch length."""
-    expo = jnp.exp(model.eigenvalues[None, :] * (t * model.rates)[:, None])
+    expo = jnp.exp(model.eigenvalues * (t * model.rates)[:, None])
     return jnp.einsum(
-        "ij,cj,jk->cik", model.eigvec, expo, model.inv_eigvec, precision=HIGHEST
+        "cij,cj,cjk->cik", model.eigvec, expo, model.inv_eigvec, precision=HIGHEST
     )
 
 
@@ -79,11 +79,11 @@ def _theta_lnl_newton(
     newton_iters: int = 4,
 ):
     """1-D branch optimization on a theta buffer; returns (t*, lnl(t*))."""
-    vt_o = jnp.einsum("sj,csp->cjp", model.eigvec, outside, precision=HIGHEST)
-    vi_u = jnp.einsum("js,csp->cjp", model.inv_eigvec, inside, precision=HIGHEST)
+    vt_o = jnp.einsum("csj,csp->cjp", model.eigvec, outside, precision=HIGHEST)
+    vi_u = jnp.einsum("cjs,csp->cjp", model.inv_eigvec, inside, precision=HIGHEST)
     theta = vt_o * vi_u  # [C, S(j), P]
     scale = in_scale + out_scale  # [P]
-    lam_r = model.eigenvalues[None, :] * model.rates[:, None]  # [C, j]
+    lam_r = model.eigenvalues * model.rates[:, None]  # [C, j]
     invar = ptn_invar * jnp.exp(jnp.clip(-scale, max=80.0)) * (ptn_invar > 0)
 
     def derivs(t):
@@ -94,12 +94,22 @@ def _theta_lnl_newton(
         denom = jnp.maximum(f0, SCALE_TINY) + invar
         return denom, f1, f2
 
+    n_sites = jnp.sum(site.pattern_freq)
+
     def newton(i, t):
         denom, f1, f2 = derivs(t)
         r1 = f1 / denom
         r2 = f2 / denom
         d1 = jnp.sum(site.pattern_freq * r1)
         d2 = jnp.sum(site.pattern_freq * (r2 - r1 * r1))
+        # +ASC terms (see derivatives.branch_lnl_derivs)
+        lnl_p = scale + jnp.log(denom)
+        L_asc = site.asc_mask * jnp.exp(jnp.minimum(lnl_p, 0.0))
+        one_m_q = jnp.maximum(1.0 - jnp.sum(L_asc), 1e-10)
+        q1 = jnp.sum(L_asc * r1)
+        q2 = jnp.sum(L_asc * r2)
+        d1 = d1 + n_sites * q1 / one_m_q
+        d2 = d2 + n_sites * (q2 / one_m_q + (q1 / one_m_q) ** 2)
         t_new = jnp.where(
             d2 < -1e-12,
             t - d1 / jnp.minimum(d2, -1e-12),
@@ -110,6 +120,9 @@ def _theta_lnl_newton(
     t = jax.lax.fori_loop(0, newton_iters, newton, t0)
     denom, _, _ = derivs(t)
     site_lnl = scale + jnp.log(denom)
+    from .likelihood import asc_correction
+
+    site_lnl = site_lnl - asc_correction(site, site_lnl)
     lnl = jnp.sum(
         site.pattern_freq.astype(jnp.float64) * site_lnl.astype(jnp.float64)
     )
@@ -118,9 +131,8 @@ def _theta_lnl_newton(
 
 def _ptn_invar(model: ModelArrays, site: SiteData):
     S = model.num_states
-    pi_ext = jnp.concatenate(
-        [model.state_freq, jnp.ones((1,), model.state_freq.dtype)]
-    )
+    mean_freq = model.mean_freq
+    pi_ext = jnp.concatenate([mean_freq, jnp.ones((1,), mean_freq.dtype)])
     w = jnp.where(site.const_state >= 0, pi_ext[jnp.clip(site.const_state, 0, S)], 0.0)
     return model.p_invar * w
 

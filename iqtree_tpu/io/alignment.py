@@ -84,13 +84,23 @@ class StateSpace:
     char_to_code: Dict[str, int]
     code_masks: np.ndarray  # [num_codes, num_states] float32
     code_chars: List[str]
+    genetic_code: Optional[int] = None  # codon alignments only
+    state_to_codon: Optional[np.ndarray] = None  # [S] codon index 0..63
+    codon_to_state: Optional[np.ndarray] = None  # [64]; -1 = stop codon
 
     @property
     def unknown_code(self) -> int:
         return self.char_to_code["?"]
 
     @classmethod
-    def make(cls, seq_type: str, num_states: Optional[int] = None) -> "StateSpace":
+    def make(
+        cls,
+        seq_type: str,
+        num_states: Optional[int] = None,
+        genetic_code: int = 1,
+    ) -> "StateSpace":
+        if seq_type == SEQ_CODON:
+            return cls._make_codon(genetic_code)
         if seq_type == SEQ_DNA:
             table, ns = _DNA_CODES, 4
         elif seq_type == SEQ_PROTEIN:
@@ -124,7 +134,35 @@ class StateSpace:
             m[code, list(states)] = 1.0
         return cls(seq_type, ns, char_to_code, m, code_chars)
 
+    @classmethod
+    def _make_codon(cls, genetic_code: int) -> "StateSpace":
+        """61-ish-state codon space (state order: sense codons by ACGT-
+        lexicographic index, matching the reference's convertState for
+        SEQ_CODON, /root/reference/alignment.cpp)."""
+        from ..models.codon import genetic_code_table, sense_codons
+
+        tab = genetic_code_table(genetic_code)
+        sc = sense_codons(genetic_code)
+        ns = len(sc)
+        codon_to_state = np.full(64, -1, dtype=np.int32)
+        codon_to_state[sc] = np.arange(ns, dtype=np.int32)
+        masks = np.concatenate(
+            [np.eye(ns, dtype=np.float32), np.ones((1, ns), np.float32)]
+        )
+        return cls(
+            seq_type=SEQ_CODON,
+            num_states=ns,
+            char_to_code={"?": ns},
+            code_masks=masks,
+            code_chars=[],
+            genetic_code=genetic_code,
+            state_to_codon=sc,
+            codon_to_state=codon_to_state,
+        )
+
     def encode(self, seq: str) -> np.ndarray:
+        if self.seq_type == SEQ_CODON:
+            return self._encode_codon(seq)
         out = np.empty(len(seq), dtype=np.int32)
         c2c = self.char_to_code
         unknown = self.unknown_code
@@ -133,6 +171,31 @@ class StateSpace:
             if code is None:
                 raise ValueError(f"invalid character {ch!r} for {self.seq_type}")
             out[i] = code
+        return out
+
+    def _encode_codon(self, seq: str) -> np.ndarray:
+        """Triplets of definite nucleotides -> codon states; any ambiguity
+        or gap in the triplet -> unknown; stop codons are an error
+        (reference Alignment::convertState for SEQ_CODON)."""
+        if len(seq) % 3 != 0:
+            raise ValueError(
+                f"codon sequence length {len(seq)} is not a multiple of 3"
+            )
+        nt = {"A": 0, "C": 1, "G": 2, "T": 3, "U": 3}
+        out = np.empty(len(seq) // 3, dtype=np.int32)
+        unknown = self.num_states
+        for i in range(0, len(seq), 3):
+            tri = seq[i:i + 3].upper()
+            a, b, c = nt.get(tri[0]), nt.get(tri[1]), nt.get(tri[2])
+            if a is None or b is None or c is None:
+                out[i // 3] = unknown
+                continue
+            st = self.codon_to_state[16 * a + 4 * b + c]
+            if st < 0:
+                raise ValueError(
+                    f"stop codon {tri} at nucleotide position {i + 1}"
+                )
+            out[i // 3] = st
         return out
 
 
@@ -284,6 +347,28 @@ class Alignment:
         probs = self.pattern_freq / self.pattern_freq.sum()
         return rng.multinomial(self.n_sites, probs).astype(np.float64)
 
+    def codon_nt_frequencies(self, by_position: bool = True) -> np.ndarray:
+        """[3, 4] position-specific nucleotide frequencies from the codon
+        data (F3X4); rows identical when by_position=False (F1X4).
+        (ModelCodon ntfreq computation, modelcodon.cpp init)."""
+        assert self.states.seq_type == SEQ_CODON
+        sc = self.states.state_to_codon
+        counts = np.zeros((3, 4))
+        ns = self.num_states
+        for p in range(self.n_patterns):
+            w = self.pattern_freq[p]
+            for code in self.patterns[:, p]:
+                if code >= ns:
+                    continue
+                c = sc[code]
+                counts[0, c // 16] += w
+                counts[1, (c // 4) % 4] += w
+                counts[2, c % 4] += w
+        if not by_position:
+            counts = np.broadcast_to(counts.sum(0), (3, 4)).copy()
+        counts = np.maximum(counts, 1e-6)
+        return counts / counts.sum(axis=1, keepdims=True)
+
     @classmethod
     def from_sequences(
         cls,
@@ -291,13 +376,14 @@ class Alignment:
         seqs: List[str],
         seq_type: Optional[str] = None,
         num_states: Optional[int] = None,
+        genetic_code: int = 1,
     ) -> "Alignment":
         if len(set(len(s) for s in seqs)) != 1:
             lens = {n: len(s) for n, s in zip(names, seqs)}
             raise ValueError(f"sequences have unequal lengths: {lens}")
         if seq_type is None:
             seq_type = detect_seq_type(seqs)
-        states = StateSpace.make(seq_type, num_states)
+        states = StateSpace.make(seq_type, num_states, genetic_code)
         mat = np.stack([states.encode(s) for s in seqs])  # [taxa, sites]
         # pattern compression: unique columns with counts
         cols = np.ascontiguousarray(mat.T)
@@ -320,7 +406,10 @@ class Alignment:
 
 
 def read_alignment(
-    path: str, seq_type: Optional[str] = None, fmt: Optional[str] = None
+    path: str,
+    seq_type: Optional[str] = None,
+    fmt: Optional[str] = None,
+    genetic_code: int = 1,
 ) -> Alignment:
     """Read an alignment with format auto-detection
     (cf. Alignment ctor dispatch, /root/reference/alignment.cpp readFile)."""
@@ -339,7 +428,29 @@ def read_alignment(
         else:
             fmt = "phylip"
     names, seqs = _READERS[fmt](text)
-    return Alignment.from_sequences(names, seqs, seq_type)
+    return Alignment.from_sequences(
+        names, seqs, seq_type, genetic_code=genetic_code
+    )
+
+
+def read_raw(path: str, fmt: Optional[str] = None):
+    """(names, seqs) without encoding/compression — used by the
+    partition splitter (io/superalignment.py)."""
+    with open(path) as f:
+        text = f.read()
+    if not text.strip():
+        raise ValueError(f"alignment file {path} is empty")
+    if fmt is None:
+        head = text.lstrip()[:10].upper()
+        if head.startswith(">"):
+            fmt = "fasta"
+        elif head.startswith("#NEXUS"):
+            fmt = "nexus"
+        elif head.startswith("CLUSTAL"):
+            fmt = "clustal"
+        else:
+            fmt = "phylip"
+    return _READERS[fmt](text)
 
 
 def _read_fasta(text: str):

@@ -33,6 +33,13 @@ def _state_names(subst):
         return list("ACGT")
     if subst.num_states == 20:
         return list("ARNDCQEGHILKMFPSTWYV")
+    if getattr(subst, "code_id", None) is not None or subst.num_states in (60, 61, 62):
+        from ..models.codon import codon_strings
+
+        try:
+            return codon_strings(getattr(subst, "code_id", 1))
+        except Exception:
+            pass
     return [str(i) for i in range(subst.num_states)]
 
 
@@ -69,6 +76,28 @@ def write_report(
     L.append("--------------------")
     L.append(f"Model of substitution: {subst.name}{rate.name_suffix()}")
     L.append("")
+    from ..models.mixture import MixtureModel
+
+    if isinstance(subst, MixtureModel):
+        L.append("Mixture model of substitution (class, rate, weight):")
+        L.append("")
+        for c, rr, ww in zip(subst.components, subst.comp_rates, subst.weights):
+            L.append(f"  {c.name:<16} {rr:.4f}  {ww:.4f}")
+        L.append("")
+        L.append("State frequencies (class-weighted means):")
+        L.append("")
+        for n, f in zip(names, subst.state_freq):
+            L.append(f"  pi({n}) = {f:.4g}")
+        L.append("")
+        _append_rate_het(L, rate)
+        _append_tree_and_tail(
+            L, aln, tree, lnl, extra_sections, iterations, wall_time, path
+        )
+        return
+    if getattr(subst, "kappa", None) is not None and subst.num_states > 20:
+        L.append(f"Transition/transversion ratio kappa: {subst.kappa:.4f}")
+        L.append(f"Nonsynonymous/synonymous ratio omega: {subst.omega:.4f}")
+        L.append("")
     if subst.num_states == 4 and subst.rate_groups is not None:
         pairs = ["A-C", "A-G", "A-T", "C-G", "C-T", "G-T"]
         r = subst.sym_rates()
@@ -83,7 +112,15 @@ def write_report(
     for n, f in zip(names, subst.state_freq):
         L.append(f"  pi({n}) = {f:.4g}")
     L.append("")
-    L.append(_rate_matrix_section(subst))
+    if subst.num_states <= 20:  # codon Q (61x61) is too wide to print
+        L.append(_rate_matrix_section(subst))
+    _append_rate_het(L, rate)
+    _append_tree_and_tail(
+        L, aln, tree, lnl, extra_sections, iterations, wall_time, path
+    )
+
+
+def _append_rate_het(L, rate):
     L.append("RATE HETEROGENEITY")
     L.append("------------------")
     if rate.has_gamma:
@@ -107,6 +144,11 @@ def write_report(
         for i, (r_, w_) in enumerate(zip(rates, props), 1):
             L.append(f"  {i}         {r_:.4g}         {w_:.4g}")
     L.append("")
+
+
+def _append_tree_and_tail(
+    L, aln, tree, lnl, extra_sections, iterations, wall_time, path
+):
     L.append("MAXIMUM LIKELIHOOD TREE")
     L.append("-----------------------")
     L.append("")
@@ -137,6 +179,7 @@ def _seqtype_name(aln):
         "AA": "amino-acid",
         "BIN": "binary",
         "MORPH": "morphological",
+        "CODON": "codon",
     }.get(aln.states.seq_type, aln.states.seq_type)
 
 

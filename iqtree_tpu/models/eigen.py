@@ -87,22 +87,25 @@ def eigen_reversible(sym_rates: jnp.ndarray, freq: jnp.ndarray):
 
 
 def transition_matrices(
-    eigenvalues: jnp.ndarray,  # [S]
-    eigvec: jnp.ndarray,  # [S, S]
-    inv_eigvec: jnp.ndarray,  # [S, S]
-    t: jnp.ndarray,  # [...] branch length * rate products
+    eigenvalues: jnp.ndarray,  # [C, S] per-category (mixture-class) values
+    eigvec: jnp.ndarray,  # [C, S, S]
+    inv_eigvec: jnp.ndarray,  # [C, S, S]
+    t: jnp.ndarray,  # [..., C] branch length * rate products per category
 ) -> jnp.ndarray:
-    """P(t) = V exp(diag(lam * t)) V^-1, batched over the shape of t.
+    """P_c(t_c) = V_c exp(diag(lam_c * t_c)) V_c^-1 for every category.
 
-    Returns [..., S, S].  (Reference: ModelGTR::computeTransMatrix,
+    The category axis C is the fused (mixture class x rate class) axis:
+    non-mixture models pass C identical eigensystems (the reference's
+    fused_mix_rate layout, /root/reference/phylotreesse.cpp:99-136).
+    Returns [..., C, S, S].  (Reference: ModelGTR::computeTransMatrix,
     /root/reference/model/modelgtr.cpp:225.)
     """
-    expo = jnp.exp(eigenvalues * t[..., None])  # [..., S]
+    expo = jnp.exp(eigenvalues * t[..., None])  # [..., C, S]
     # HIGHEST precision: TPU default bf16 matmuls round P(t) hard enough to
     # produce small negative probabilities (observed: -2^-9), which poison
     # log-likelihoods downstream.  These matrices are tiny; full f32 is free.
     return jnp.einsum(
-        "ij,...j,jk->...ik",
+        "cij,...cj,cjk->...cik",
         eigvec,
         expo,
         inv_eigvec,

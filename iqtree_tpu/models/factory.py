@@ -1,8 +1,10 @@
 """Model-string parsing and construction (the ModelFactory equivalent).
 
 Parses IQ-TREE-style model strings like "GTR+G4+I", "HKY+F{.3,.2,.2,.3}",
-"TN93e+R4", "WAG+G" into a (ReversibleModel, RateModel) pair, mirroring
-/root/reference/model/modelfactory.cpp:296-368 and ModelGTR::init.
+"TN93e+R4", "WAG+G", "C20+G", "MIX{HKY{2.0},GTR}+G", "LG4M" into a
+(substitution model | MixtureModel, RateModel) pair, mirroring
+/root/reference/model/modelfactory.cpp:296-368, ModelGTR::init, and
+modelmixture.cpp createModel (:982-1031).
 
 Supported suffixes:
   +F    empirical (counted) frequencies        [+F  in reference]
@@ -13,18 +15,31 @@ Supported suffixes:
   +G[n][{a}]    discrete Gamma (default n=4)
   +R[n][{r,w,...}]  FreeRate
   +Gm           median instead of mean rates (reference -gmedian)
-Model parameters may be pinned inline: GTR{1.5,2.0,...}.
+  +ASC          Lewis ascertainment-bias correction
+  +FMIX{f1:r:w,...}  frequency-mixture classes (CF4/C10..C60 style)
+Model parameters may be pinned inline: GTR{1.5,2.0,...}.  Mixture names
+(EX2, EX3, EHO, EX_EHO, LG4M, LG4X, CF4, C10..C60) resolve from the
+builtin NEXUS definitions; `user_defs` adds -mdef definitions.
 """
 
 from __future__ import annotations
 
 import re
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from ..io.alignment import Alignment, SEQ_BINARY, SEQ_DNA, SEQ_MORPH, SEQ_PROTEIN
+from ..io.alignment import (
+    Alignment,
+    SEQ_BINARY,
+    SEQ_CODON,
+    SEQ_DNA,
+    SEQ_MORPH,
+    SEQ_PROTEIN,
+)
+from ..io.modelsblock import ExprDef, FreqDef, MatrixDef, builtin_mixture_defs
 from .dna import DNA_MODELS, create_dna_model
+from .mixture import MixtureModel, build_mixture
 from .rates import RateModel
 from .subst import (
     FREQ_EMPIRICAL,
@@ -70,24 +85,83 @@ def _parse_braces(tok: str) -> Tuple[str, Optional[list]]:
 
 
 def parse_model_string(
-    model_str: str, aln: Alignment
-) -> Tuple[ReversibleModel, RateModel]:
-    base_tok, suffixes = _split_suffixes(model_str.strip())
-    base_name, base_params = _parse_braces(base_tok)
+    model_str: str,
+    aln: Alignment,
+    user_defs: Optional[Dict[str, object]] = None,
+):
+    """Returns (ReversibleModel | MixtureModel, RateModel)."""
+    defs = dict(builtin_mixture_defs())
+    if user_defs:
+        defs.update(user_defs)
 
-    subst = _create_subst(base_name, aln)
-    if base_params is not None:
-        if subst.rate_groups is not None:
-            ngroups = int(subst.rate_groups.max()) + 1
-            if len(base_params) != ngroups - 1:
+    base_tok, suffixes = _split_suffixes(model_str.strip())
+
+    def resolve_base(name: str) -> ReversibleModel:
+        """Resolve a plain (non-mixture) component/base model name."""
+        bname, bparams = _parse_braces(name)
+        d = defs.get(bname.upper())
+        if isinstance(d, MatrixDef):
+            if d.exchange.shape[0] != aln.num_states:
                 raise ModelParseError(
-                    f"{base_name} expects {ngroups - 1} rate parameters, got "
-                    f"{len(base_params)}"
+                    f"model {bname} has {d.exchange.shape[0]} states, "
+                    f"alignment has {aln.num_states}"
                 )
-            subst.set_rate_param_vector(np.asarray(base_params))
-            subst.fixed_rates = True
+            freq = (
+                d.freqs if d.freqs is not None else aln.state_frequencies()
+            )
+            return ReversibleModel(
+                name=d.name,
+                num_states=d.exchange.shape[0],
+                exchange=d.exchange,
+                freq_type=FREQ_USER,
+                state_freq=np.asarray(freq, float),
+                fixed_rates=True,
+            )
+        m = _create_subst(bname, aln)
+        if bparams is not None:
+            if m.rate_groups is None:
+                raise ModelParseError(f"{bname} takes no rate parameters")
+            ngroups = int(m.rate_groups.max()) + 1
+            if len(bparams) != ngroups - 1:
+                raise ModelParseError(
+                    f"{bname} expects {ngroups - 1} rate parameters, got "
+                    f"{len(bparams)}"
+                )
+            m.set_rate_param_vector(np.asarray(bparams))
+            m.fixed_rates = True
+        return m
+
+    # --- expand ExprDef aliases (builtin mixtures like C10, LG4M) -------
+    plain = base_tok.split("*")[0].split("{")[0]
+    d = defs.get(plain.upper())
+    if isinstance(d, ExprDef):
+        inner_base, inner_suffixes = _split_suffixes(d.expr)
+        base_tok = inner_base
+        suffixes = inner_suffixes + suffixes
+
+    # --- pull out a frequency-mixture suffix ----------------------------
+    fmix_body = None
+    rest = []
+    for tok in suffixes:
+        if tok.upper().startswith("FMIX{") and tok.endswith("}"):
+            fmix_body = tok[5:-1]
         else:
-            raise ModelParseError(f"{base_name} takes no rate parameters")
+            rest.append(tok)
+    suffixes = rest
+
+    # --- construct the substitution model -------------------------------
+    subst: object
+    base_params = None
+    mix_star = None
+    if base_tok.upper().startswith("MIX{") or fmix_body is not None:
+        subst, mix_star = build_mixture(
+            base_tok, fmix_body, aln, defs, resolve_base
+        )
+    else:
+        base_name, base_params = _parse_braces(base_tok)
+        subst = resolve_base(base_tok)
+
+    is_mix = isinstance(subst, MixtureModel)
 
     gamma_cats = 0
     invar = False
@@ -101,26 +175,42 @@ def parse_model_string(
     for tok in suffixes:
         name, vals = _parse_braces(tok)
         upper = name.upper()
-        if upper == "F":
-            if vals:
-                f = np.asarray(vals)
-                if len(f) != subst.num_states:
-                    raise ModelParseError(
-                        f"+F expects {subst.num_states} frequencies"
-                    )
-                subst.state_freq = f / f.sum()
+        if upper in ("F", "FO", "FE", "FQ", "FU", "FC"):
+            if is_mix:
+                raise ModelParseError(
+                    "frequency suffixes don't apply to mixture models"
+                )
+            if upper == "F":
+                if vals:
+                    f = np.asarray(vals)
+                    if len(f) != subst.num_states:
+                        raise ModelParseError(
+                            f"+F expects {subst.num_states} frequencies"
+                        )
+                    subst.state_freq = f / f.sum()
+                    subst.freq_type = FREQ_USER
+                else:
+                    subst.freq_type = FREQ_EMPIRICAL
+            elif upper in ("FO", "FE"):
+                subst.freq_type = FREQ_ESTIMATE
+            elif upper == "FQ":
+                subst.freq_type = FREQ_EQUAL
+                subst.state_freq = np.full(
+                    subst.num_states, 1.0 / subst.num_states
+                )
+            elif upper == "FU":
                 subst.freq_type = FREQ_USER
-            else:
-                subst.freq_type = FREQ_EMPIRICAL
             freq_set = True
-        elif upper in ("FO", "FE"):
-            subst.freq_type = FREQ_ESTIMATE
-            freq_set = True
-        elif upper == "FQ":
-            subst.freq_type = FREQ_EQUAL
-            subst.state_freq = np.full(subst.num_states, 1.0 / subst.num_states)
-            freq_set = True
-        elif upper == "FU":
+        elif upper in ("F1X4", "F3X4"):
+            from .codon import product_codon_freqs
+
+            if aln.states.seq_type != SEQ_CODON:
+                raise ModelParseError(f"+{upper} needs codon data")
+            nt = aln.codon_nt_frequencies(by_position=(upper == "F3X4"))
+            subst.nt_freq = nt
+            subst.state_freq = product_codon_freqs(
+                nt, aln.states.genetic_code
+            )
             subst.freq_type = FREQ_USER
             freq_set = True
         elif upper == "I":
@@ -141,23 +231,44 @@ def parse_model_string(
             if vals:
                 free_init = np.asarray(vals)
         elif upper == "ASC":
-            raise ModelParseError("+ASC not implemented yet")
+            subst.asc = True
         else:
             raise ModelParseError(f"unknown model suffix +{name}")
 
-    if not freq_set:
-        # resolve the model's default policy; FREQ_ESTIMATE default means
-        # "empirical counts" for DNA in the reference (e.g. GTR+G reports
-        # 'empirical counts from alignment')
-        if subst.freq_type == FREQ_ESTIMATE:
-            subst.freq_type = FREQ_EMPIRICAL
+    if not is_mix:
+        if not freq_set:
+            # resolve the model's default policy; FREQ_ESTIMATE default means
+            # "empirical counts" for DNA in the reference (e.g. GTR+G reports
+            # 'empirical counts from alignment')
+            if subst.freq_type == FREQ_ESTIMATE:
+                subst.freq_type = FREQ_EMPIRICAL
+        if subst.freq_type == FREQ_EMPIRICAL or subst.freq_type == FREQ_ESTIMATE:
+            subst.state_freq = aln.state_frequencies()
 
-    if subst.freq_type == FREQ_EMPIRICAL or (
-        subst.freq_type == FREQ_ESTIMATE and freq_set
-    ):
-        subst.state_freq = aln.state_frequencies()
-    if subst.freq_type == FREQ_ESTIMATE:
-        subst.state_freq = aln.state_frequencies()  # ML start point
+    if subst.asc:
+        # reference rejects +ASC with invariable sites / +I (Lewis
+        # correction conditions on variability; modelfactory.cpp:341-356)
+        if invar:
+            raise ModelParseError("+ASC is incompatible with +I")
+        if aln.frac_const_sites() > 0:
+            raise ModelParseError(
+                "+ASC requires an alignment without constant sites"
+            )
+
+    if is_mix and subst.fused_with_rate:
+        # `MIX{..}*G4` fuses class m with Gamma rate class m (LG4M);
+        # `MIX{..}*R4` fuses with FreeRate, whose free weights double as
+        # the mixture weights (LG4X; Le, Dang & Gascuel 2012)
+        if mix_star and mix_star.upper().startswith("R"):
+            free_cats = subst.n_mix
+            gamma_cats = 0
+            subst.fix_weights = True  # tied to the FreeRate weights
+        else:
+            if gamma_cats and gamma_cats != subst.n_mix:
+                raise ModelParseError(
+                    f"fused mixture {subst.name} needs G{subst.n_mix}"
+                )
+            gamma_cats = gamma_cats or subst.n_mix
 
     rate = RateModel.make(
         gamma_cats=gamma_cats,
@@ -169,6 +280,10 @@ def parse_model_string(
         fix_alpha=fix_alpha,
         fix_p_invar=fix_pinv,
     )
+    from .codon import CodonModel
+
+    if isinstance(subst, CodonModel):
+        subst.refresh_exchange()
     if free_init is not None:
         k = free_cats
         if len(free_init) == 2 * k:
@@ -203,6 +318,27 @@ def _create_subst(name: str, aln: Alignment) -> ReversibleModel:
         from .protein import create_protein_model
 
         return create_protein_model(name)
+    if st == SEQ_CODON:
+        from .codon import CodonModel, empirical_codon_model
+
+        code = aln.states.genetic_code
+        ns = aln.num_states
+        if upper in ("KOSI07", "ECM", "ECMK07", "ECMREST", "SCHN05", "ECMS05"):
+            return empirical_codon_model(upper, code)
+        if upper in ("GY", "GY94", ""):
+            m = CodonModel("GY", ns, code_id=code,
+                           freq_type=FREQ_EMPIRICAL)
+        elif upper in ("MG", "MG94"):
+            m = CodonModel("MG", ns, code_id=code, mg=True,
+                           freq_type=FREQ_USER)
+        else:
+            raise ModelParseError(f"unknown codon model {name!r}")
+        m.nt_freq = aln.codon_nt_frequencies(by_position=True)
+        if m.mg:
+            from .codon import product_codon_freqs
+
+            m.state_freq = product_codon_freqs(m.nt_freq, code)
+        return m
     raise ModelParseError(f"no models for sequence type {st}")
 
 
@@ -216,4 +352,6 @@ def default_model(aln: Alignment) -> str:
         return "LG+G"
     if st == SEQ_BINARY:
         return "JC2+G"
+    if st == SEQ_CODON:
+        return "GY+G"
     return "MK+G"

@@ -50,14 +50,47 @@ class ModelOptimizer:
     dtype: object = jnp.float64
 
     def __post_init__(self):
+        from .codon import CodonModel
+        from .mixture import MixtureModel
+
         self._jit_cache = {}
         s = self.subst
-        self.opt_rates = (not s.fixed_rates) and s.rate_groups is not None and s.n_rate_params > 0
-        self.opt_freq = s.freq_type == FREQ_ESTIMATE
+        self.is_mixture = isinstance(s, MixtureModel)
+        self.is_codon = isinstance(s, CodonModel)
         self.opt_alpha = self.rate.has_gamma and not self.rate.fix_alpha
         self.opt_pinv = self.rate.has_invar and not self.rate.fix_p_invar
         self.opt_free = self.rate.is_free_rate
         self.max_pinv = 0.999  # caller may tighten to frac_const_sites
+        if self.is_mixture:
+            self.opt_rates = False
+            self.opt_freq = False
+            self.opt_weights = (not s.fix_weights) and s.n_mix > 1
+            # components are fixed matrices: eigendecompose once on host
+            lam_m, v_m, vinv_m, freq_m = s.eigen_all()
+            R = self.rate.ncat
+            if s.fused_with_rate:
+                if s.n_mix != R:
+                    raise ValueError(
+                        f"fused mixture has {s.n_mix} classes, rate model {R}"
+                    )
+                self._mix_eigen = (lam_m, v_m, vinv_m, freq_m)
+            else:
+                self._mix_eigen = (
+                    np.repeat(lam_m, R, axis=0),
+                    np.repeat(v_m, R, axis=0),
+                    np.repeat(vinv_m, R, axis=0),
+                    np.repeat(freq_m, R, axis=0),
+                )
+            return
+        self.opt_weights = False
+        self.opt_freq = s.freq_type == FREQ_ESTIMATE
+        if self.is_codon:
+            self.opt_rates = False
+            self.opt_kappa = not s.fix_kappa
+            self.opt_omega = not s.fix_omega
+            return
+        self.opt_kappa = self.opt_omega = False
+        self.opt_rates = (not s.fixed_rates) and s.rate_groups is not None and s.n_rate_params > 0
         # static scatter indices for the exchangeability matrix
         S = s.num_states
         pairs = pair_index(S)
@@ -68,6 +101,15 @@ class ModelOptimizer:
     def init_params(self) -> Dict[str, jnp.ndarray]:
         p: Dict[str, jnp.ndarray] = {}
         dt = self.dtype
+        if self.is_mixture and self.opt_weights:
+            p["mix_logits"] = jnp.asarray(
+                np.log(np.maximum(self.subst.weights, 1e-6)), dtype=dt
+            )
+        if self.is_codon:
+            if self.opt_kappa:
+                p["log_kappa"] = jnp.asarray(np.log(self.subst.kappa), dtype=dt)
+            if self.opt_omega:
+                p["log_omega"] = jnp.asarray(np.log(self.subst.omega), dtype=dt)
         if self.opt_rates:
             p["log_rates"] = jnp.asarray(
                 np.log(np.maximum(self.subst.group_rates[1:], 1e-4)), dtype=dt
@@ -100,10 +142,30 @@ class ModelOptimizer:
 
     # -- building ------------------------------------------------------
     def build(self, params: Dict[str, jnp.ndarray]) -> ModelArrays:
+        if self.is_mixture:
+            return self._build_mixture(params)
         dt = self.dtype
         S = self.subst.num_states
         # exchangeabilities
-        if self.subst.exchange is not None:
+        if self.is_codon:
+            sub = self.subst
+            lk = (
+                params["log_kappa"]
+                if self.opt_kappa
+                else jnp.asarray(np.log(sub.kappa), dt)
+            )
+            lo = (
+                params["log_omega"]
+                if self.opt_omega
+                else jnp.asarray(np.log(sub.omega), dt)
+            )
+            step = jnp.asarray(sub._step, dt)
+            ts = jnp.asarray(sub._ts, dt)
+            nsyn = jnp.asarray(sub._nonsyn, dt)
+            sym = step * jnp.exp(lk * ts + lo * nsyn)
+            if sub.mg:
+                sym = sym * jnp.asarray(sub.mg_factor(), dt)
+        elif self.subst.exchange is not None:
             sym = jnp.asarray(self.subst.exchange, dtype=dt)
         else:
             if self.opt_rates:
@@ -124,7 +186,21 @@ class ModelOptimizer:
         else:
             freq = jnp.asarray(self.subst.state_freq, dtype=dt)
         lam, v, vinv = eigen_reversible(sym, freq)
-        # rate heterogeneity
+        rates, props, pinv = self._rate_part(params)
+        C_out = rates.shape[0]
+        return ModelArrays(
+            eigenvalues=jnp.broadcast_to(lam.astype(dt), (C_out, S)),
+            eigvec=jnp.broadcast_to(v.astype(dt), (C_out, S, S)),
+            inv_eigvec=jnp.broadcast_to(vinv.astype(dt), (C_out, S, S)),
+            state_freq=jnp.broadcast_to(freq.astype(dt), (C_out, S)),
+            rates=rates,
+            props=props,
+            p_invar=jnp.asarray(pinv, dtype=dt),
+        )
+
+    def _rate_part(self, params):
+        """(rates [R], props [R], pinv) from the rate-model parameters."""
+        dt = self.dtype
         if self.opt_pinv:
             pinv = jax.nn.sigmoid(params["logit_pinv"]) * self.max_pinv
         else:
@@ -142,25 +218,59 @@ class ModelOptimizer:
         elif self.opt_free:
             r = jnp.exp(params["log_free_rates"])
             w = jax.nn.softmax(params["free_logits"]) * (1.0 - pinv)
-            mean = jnp.sum(r * w) + pinv * 0.0  # invariant sites have rate 0
+            mean = jnp.sum(r * w)
             rates = r / jnp.maximum(mean, 1e-8)
             props = w
         else:
             rates = jnp.ones((1,), dt)
             props = jnp.ones((1,), dt) * (1.0 - pinv)
+        return rates, props, pinv
+
+    def _build_mixture(self, params) -> ModelArrays:
+        """Fused (mixture x rate) ModelArrays; component eigensystems are
+        fixed host constants, weights/rate-model parameters are traced."""
+        dt = self.dtype
+        mix = self.subst
+        lam, v, vinv, freq = self._mix_eigen
+        rates_r, props_r, pinv = self._rate_part(params)
+        if self.opt_weights:
+            w = jax.nn.softmax(params["mix_logits"])
+        else:
+            w = jnp.asarray(mix.weights, dtype=dt)
+        comp_rate = jnp.asarray(mix.comp_rates, dtype=dt)
+        if mix.fused_with_rate:
+            rates = rates_r * comp_rate
+            if self.opt_free:
+                # LG4X-style: FreeRate weights ARE the class weights
+                props = props_r
+            else:
+                props = w * jnp.sum(props_r)
+        else:
+            R = rates_r.shape[0]
+            rates = (comp_rate[:, None] * rates_r[None, :]).reshape(-1)
+            props = (w[:, None] * props_r[None, :]).reshape(-1)
         return ModelArrays(
-            eigenvalues=lam.astype(dt),
-            eigvec=v.astype(dt),
-            inv_eigvec=vinv.astype(dt),
-            state_freq=freq.astype(dt),
+            eigenvalues=jnp.asarray(lam, dtype=dt),
+            eigvec=jnp.asarray(v, dtype=dt),
+            inv_eigvec=jnp.asarray(vinv, dtype=dt),
+            state_freq=jnp.asarray(freq, dtype=dt),
             rates=rates,
             props=props,
             p_invar=jnp.asarray(pinv, dtype=dt),
         )
 
     # -- write-back for reporting --------------------------------------
-    def unpack(self, params: Dict[str, jnp.ndarray]) -> Tuple[ReversibleModel, RateModel]:
+    def unpack(self, params: Dict[str, jnp.ndarray]):
         s, r = self.subst, self.rate
+        if self.is_mixture and self.opt_weights:
+            w = np.asarray(jax.nn.softmax(params["mix_logits"]))
+            s.weights = w / w.sum()
+        if self.is_codon:
+            if self.opt_kappa:
+                s.kappa = float(np.exp(params["log_kappa"]))
+            if self.opt_omega:
+                s.omega = float(np.exp(params["log_omega"]))
+            s.refresh_exchange()
         if self.opt_rates:
             s.set_rate_param_vector(np.exp(np.asarray(params["log_rates"])))
         if self.opt_freq:

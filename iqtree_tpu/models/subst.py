@@ -47,6 +47,7 @@ class ReversibleModel:
     freq_type: str = FREQ_EQUAL
     state_freq: Optional[np.ndarray] = None  # [S]
     fixed_rates: bool = False  # true for empirical matrices
+    asc: bool = False  # +ASC: Lewis ascertainment-bias correction
 
     def __post_init__(self):
         S = self.num_states

@@ -99,7 +99,7 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
 
     subst, rate = parse_model_string(params.model, aln)
     opt = ModelOptimizer(subst, rate, dtype=dtype)
-    site = SiteData.from_alignment(aln, dtype)
+    site = SiteData.from_alignment(aln, dtype, asc=subst.asc)
     if params.pattern_freq is not None:
         site = site._replace(
             pattern_freq=jnp.asarray(params.pattern_freq, dtype)
