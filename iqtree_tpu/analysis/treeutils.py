@@ -1,0 +1,187 @@
+"""Tree-collection utilities: multi-tree IO, consensus, RF, support
+mapping, random tree generation.
+
+Covers the reference modes dispatched at /root/reference/pda.cpp:2436-2480:
+consensus tree (-con, MTreeSet::createConsensusTree), support assignment
+(-sup, assignBranchSupport), RF distances (-rf/-rf_all,
+mtreeset.cpp computeRFDist), random trees (-r, MExtTree generators:
+Yule-Harding / uniform / caterpillar / balanced / star).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..io.newick import parse_newick
+from ..trees.splits import (
+    SplitCounter,
+    consensus_tree,
+    map_supports,
+    robinson_foulds_matrix,
+)
+from ..trees.tree import MIN_BLEN, PhyloTree, random_tree
+
+
+def _leaf_names(node, out):
+    if node.is_leaf:
+        out.append(node.name)
+    for c in node.children:
+        _leaf_names(c, out)
+
+
+def read_trees(path: str, taxon_names: Optional[List[str]] = None,
+               rng: Optional[np.random.Generator] = None
+               ) -> Tuple[List[PhyloTree], List[str]]:
+    """Read a file of newick trees (one per line / ;-separated).
+    Taxon-name order is taken from the first tree unless given."""
+    text = open(path).read()
+    chunks = [c.strip() + ";" for c in text.split(";") if c.strip()]
+    if not chunks:
+        raise ValueError(f"no trees in {path}")
+    if taxon_names is None:
+        names: List[str] = []
+        _leaf_names(parse_newick(chunks[0]), names)
+        taxon_names = sorted(names)
+    trees = [PhyloTree.from_newick(c, taxon_names, rng=rng) for c in chunks]
+    return trees, taxon_names
+
+
+def run_consensus(tree_file: str, out_prefix: str, minsup: float = 0.0,
+                  log=print) -> PhyloTree:
+    """-con: majority-rule (extended) consensus of a tree set."""
+    trees, names = read_trees(tree_file)
+    counter = SplitCounter(trees[0].n_taxa)
+    for t in trees:
+        counter.add_tree(t)
+    cons, _ = consensus_tree(counter, threshold=max(minsup, 0.5) if minsup
+                             else 0.5)
+    sup = map_supports(cons, counter)
+    out = out_prefix + ".contree"
+    with open(out, "w") as f:
+        f.write(cons.to_newick(names, support=sup) + "\n")
+    log(f"Consensus tree of {len(trees)} trees written to {out}")
+    return cons
+
+
+def run_support_assignment(target_file: str, tree_file: str,
+                           out_prefix: str, log=print) -> PhyloTree:
+    """-sup: map split frequencies of a tree set onto a target tree."""
+    trees, names = read_trees(tree_file)
+    target, _ = read_trees(target_file, taxon_names=names)
+    target = target[0]
+    counter = SplitCounter(target.n_taxa)
+    for t in trees:
+        counter.add_tree(t)
+    sup = map_supports(target, counter)
+    out = out_prefix + ".suptree"
+    with open(out, "w") as f:
+        f.write(target.to_newick(names, support=sup) + "\n")
+    log(f"Support values ({len(trees)} trees) written to {out}")
+    return target
+
+
+def run_rf_distance(tree_file: str, out_prefix: str, tree_file2: str = None,
+                    log=print) -> np.ndarray:
+    """-rf_all (all-vs-all within a file) or -rf (pairwise between two
+    files, row i vs row i)."""
+    trees, names = read_trees(tree_file)
+    if tree_file2:
+        trees2, _ = read_trees(tree_file2, taxon_names=names)
+        d = np.array([t1.robinson_foulds(t2)
+                      for t1, t2 in zip(trees, trees2)])
+    else:
+        d = robinson_foulds_matrix(trees)
+    out = out_prefix + ".rfdist"
+    with open(out, "w") as f:
+        if d.ndim == 1:
+            f.write(" ".join(str(int(x)) for x in d) + "\n")
+        else:
+            f.write(f"{len(trees)}\n")
+            for i, row in enumerate(d):
+                f.write(f"Tree{i}      " + " ".join(str(int(x)) for x in row)
+                        + "\n")
+    log(f"Robinson-Foulds distances written to {out}")
+    return d
+
+
+# ---------------------------------------------------------------------------
+# random tree generation (-r; MExtTree::generateRandomTree, mexttree.cpp)
+# ---------------------------------------------------------------------------
+
+
+def generate_random_tree(
+    n_taxa: int,
+    rng: np.random.Generator,
+    mode: str = "yule",  # yule | uniform | caterpillar | balanced | star
+    mean_blen: float = 0.1,
+) -> PhyloTree:
+    if mode == "yule":
+        # Yule-Harding: split a random *pendant* edge (speciation at tips)
+        return _grow_tree(n_taxa, rng, mean_blen, pendant_only=True)
+    if mode == "uniform":
+        # uniform over topologies: split a uniformly random edge (PDA model)
+        return _grow_tree(n_taxa, rng, mean_blen, pendant_only=False)
+    if mode == "caterpillar":
+        nwk = f"t0:{_bl(rng, mean_blen)}"
+        for i in range(1, n_taxa):
+            nwk = f"({nwk},t{i}:{_bl(rng, mean_blen)}):{_bl(rng, mean_blen)}"
+        return PhyloTree.from_newick(nwk + ";",
+                                     [f"t{i}" for i in range(n_taxa)])
+    if mode == "balanced":
+        def build(lo, hi):
+            if hi - lo == 1:
+                return f"t{lo}:{_bl(rng, mean_blen)}"
+            mid = (lo + hi) // 2
+            return (f"({build(lo, mid)},{build(mid, hi)})"
+                    f":{_bl(rng, mean_blen)}")
+        return PhyloTree.from_newick(build(0, n_taxa) + ";",
+                                     [f"t{i}" for i in range(n_taxa)])
+    if mode == "star":
+        kids = ",".join(f"t{i}:{_bl(rng, mean_blen)}" for i in range(n_taxa))
+        return PhyloTree.from_newick(f"({kids});",
+                                     [f"t{i}" for i in range(n_taxa)],
+                                     rng=rng)
+    raise ValueError(f"unknown random tree mode {mode!r}")
+
+
+def _bl(rng, mean):
+    return float(rng.exponential(mean)) + MIN_BLEN
+
+
+def _grow_tree(n_taxa, rng, mean_blen, pendant_only: bool) -> PhyloTree:
+    adj: Dict[int, List[Tuple[int, float]]] = {}
+    nxt = [n_taxa]
+
+    def add_edge(a, b, l):
+        adj.setdefault(a, []).append((b, l))
+        adj.setdefault(b, []).append((a, l))
+
+    c = nxt[0]
+    nxt[0] += 1
+    for t in range(3):
+        add_edge(c, t, _bl(rng, mean_blen))
+    edges = [(c, 0), (c, 1), (c, 2)]
+    for t in range(3, n_taxa):
+        if pendant_only:
+            cand = [e for e in edges if e[1] < n_taxa]
+        else:
+            cand = edges
+        i = rng.integers(len(cand))
+        a, b = cand[i]
+        idx = edges.index((a, b))
+        l_ab = next(l for (x, l) in adj[a] if x == b)
+        w = nxt[0]
+        nxt[0] += 1
+        adj[a] = [(x, l) for (x, l) in adj[a] if x != b]
+        adj[b] = [(x, l) for (x, l) in adj[b] if x != a]
+        l1 = l_ab * rng.uniform()
+        add_edge(a, w, max(l1, MIN_BLEN))
+        add_edge(w, b, max(l_ab - l1, MIN_BLEN))
+        add_edge(w, t, _bl(rng, mean_blen))
+        edges[idx] = (a, w)
+        edges.append((w, b))
+        edges.append((w, t))
+    return PhyloTree.from_adjacency(n_taxa, adj)

@@ -42,6 +42,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     log(f"IQ-TREE-TPU {__version__} starting: {command}")
     log(f"Devices: {jax.devices()}")
 
+    # ---- utility modes (no alignment; pda.cpp:2436-2480 dispatch) -----
+    if (cfg.consensus_file or cfg.sup_target or cfg.rf_file
+            or cfg.random_tree_n or cfg.pd_k or cfg.pd_max_k):
+        rc = _run_utility(cfg, log)
+        _finish(prefix, log_lines, t0, log)
+        return rc
+    if not cfg.aln_file:
+        log("ERROR: -s <alignment> is required for this mode")
+        return 2
+
     # checkpoint gate (reference: pda.cpp:2187-2210)
     from .utils.checkpoint import Checkpoint
 
@@ -172,6 +182,36 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         alrt_labels = bt.labels(sh=True, abayes=False)
 
+    # ---- likelihood mapping (-lmap; quartet.cpp doLikelihoodMapping) --
+    if cfg.lmap > 0:
+        import jax
+
+        from .engine.likelihood import SiteData, TreeArrays
+        from .engine.quartet import likelihood_mapping
+        from .models.optimize import ModelOptimizer
+
+        log(f"Likelihood mapping with {cfg.lmap} random quartets...")
+        opt_lm = ModelOptimizer(subst, rate, dtype=dtype)
+        ma_lm = jax.jit(opt_lm.build)(opt_lm.init_params())
+        lm = likelihood_mapping(
+            ma_lm,
+            SiteData.from_alignment(aln, dtype, asc=getattr(subst, "asc", False)),
+            aln.n_taxa,
+            cfg.lmap,
+            np.random.default_rng(cfg.seed),
+        )
+        lm.write_svg(prefix + ".lmap.svg")
+        log(lm.summary())
+        log(f"  Likelihood mapping plot:       {prefix}.lmap.svg")
+        if cfg.write_quartet_lh:
+            with open(prefix + ".quartetlh", "w") as f:
+                for q, l, w in zip(lm.quartets, lm.lnls, lm.weights):
+                    f.write(
+                        "\t".join(map(str, q)) + "\t"
+                        + "\t".join(f"{x:.6f}" for x in l) + "\t"
+                        + "\t".join(f"{x:.6f}" for x in w) + "\n"
+                    )
+
     # ---- outputs -----------------------------------------------------
     support = None
     if ufboot is not None:
@@ -216,6 +256,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     if cfg.write_site_lnl and pattern_lnl is not None:
         write_site_lnl(prefix + ".sitelh", aln, pattern_lnl)
+    if cfg.write_site_rates:
+        import jax
+
+        from .engine.likelihood import SiteData, TreeArrays
+        from .engine.site_rates import posterior_mean_rates, write_site_rates
+        from .models.optimize import ModelOptimizer
+
+        opt_r = ModelOptimizer(subst, rate, dtype=dtype)
+        ma_r = jax.jit(opt_r.build)(opt_r.init_params())
+        rates_p, _ = jax.jit(posterior_mean_rates)(
+            TreeArrays.from_tree(tree, dtype),
+            ma_r,
+            SiteData.from_alignment(aln, dtype,
+                                    asc=getattr(subst, "asc", False)),
+        )
+        write_site_rates(prefix + ".rate", aln, np.asarray(rates_p))
+        log(f"  Site rates:                    {prefix}.rate")
     log(f"BEST SCORE FOUND : {lnl:.4f}")
     log(f"Total wall-clock time used: {time.time() - t0:.3f} sec")
     log("")
@@ -226,6 +283,50 @@ def main(argv: Optional[List[str]] = None) -> int:
     ckp.dump(force=True)
     _finish(prefix, log_lines, t0, log)
     return 0
+
+
+def _run_utility(cfg, log) -> int:
+    """Tree utility modes: -con, -sup, -rf/-rf_all, -r, -k (PD)."""
+    from .analysis import treeutils
+
+    prefix = cfg.prefix or "iqtree_tpu_util"
+    if cfg.consensus_file:
+        treeutils.run_consensus(cfg.consensus_file, prefix,
+                                minsup=cfg.min_support, log=log)
+        return 0
+    if cfg.sup_target:
+        if not cfg.user_tree:
+            log("ERROR: -sup needs -t <trees file>")
+            return 2
+        treeutils.run_support_assignment(cfg.sup_target, cfg.user_tree,
+                                         prefix, log=log)
+        return 0
+    if cfg.rf_file:
+        treeutils.run_rf_distance(cfg.rf_file, prefix,
+                                  tree_file2=cfg.rf_file2, log=log)
+        return 0
+    if cfg.random_tree_n:
+        rng = np.random.default_rng(cfg.seed)
+        t = treeutils.generate_random_tree(cfg.random_tree_n, rng,
+                                           cfg.random_tree_mode)
+        names = [f"t{i}" for i in range(cfg.random_tree_n)]
+        out = prefix + ".treefile"
+        with open(out, "w") as f:
+            f.write(t.to_newick(names) + "\n")
+        log(f"Random {cfg.random_tree_mode} tree with "
+            f"{cfg.random_tree_n} taxa written to {out}")
+        return 0
+    if cfg.pd_k or cfg.pd_max_k:
+        if not cfg.user_tree:
+            log("ERROR: PD selection needs -t <tree file>")
+            return 2
+        from .analysis.pd import run_pd_analysis
+
+        run_pd_analysis(cfg.user_tree, prefix, k=cfg.pd_k or None,
+                        min_k=cfg.pd_min_k or None,
+                        max_k=cfg.pd_max_k or None, log=log)
+        return 0
+    return 2
 
 
 def _run_partitioned(cfg, seq_type, gcode, dtype, log, command, t0):

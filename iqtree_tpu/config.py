@@ -29,6 +29,7 @@ class RunConfig:
     max_seconds: Optional[float] = None  # -maxtime (minutes in ref)
     n_threads: int = 0  # -nt (0 = all devices)
     write_site_lnl: bool = False  # -wsl
+    write_site_rates: bool = False  # -wsr
     redo: bool = False  # -redo
     quiet: bool = False  # -quiet
     ufboot: int = 0  # -bb replicates
@@ -43,10 +44,23 @@ class RunConfig:
     float32: bool = True
     partition_file: Optional[str] = None  # -sp/-spp/-q/-spj file
     partition_mode: Optional[str] = None  # unlinked|proportional|joint
+    lmap: int = 0  # -lmap: number of likelihood-mapping quartets
+    write_quartet_lh: bool = False  # -wql
+    # utility modes (no alignment required; pda.cpp:2436-2480 dispatch)
+    consensus_file: Optional[str] = None  # -con FILE
+    min_support: float = 0.0  # -minsup
+    sup_target: Optional[str] = None  # -sup TARGET (trees from -t)
+    rf_file: Optional[str] = None  # -rf_all FILE | -rf FILE FILE2
+    rf_file2: Optional[str] = None
+    random_tree_n: int = 0  # -r N
+    random_tree_mode: str = "yule"  # -rand yule|uniform|caterpillar|balanced|star
+    pd_k: int = 0  # -k N (PD selection on -t tree)
+    pd_min_k: int = 0  # -mink
+    pd_max_k: int = 0  # -maxk
 
     @property
     def out_prefix(self) -> str:
-        return self.prefix or self.aln_file
+        return self.prefix or self.aln_file or "iqtree_tpu_util"
 
 
 def parse_args(argv) -> RunConfig:
@@ -55,7 +69,7 @@ def parse_args(argv) -> RunConfig:
         description="TPU-native maximum-likelihood phylogenetic inference "
         "(IQ-TREE-compatible interface)",
     )
-    p.add_argument("-s", dest="aln_file", required=True, help="alignment file")
+    p.add_argument("-s", dest="aln_file", default=None, help="alignment file")
     p.add_argument("-st", dest="seq_type", default=None,
                    help="sequence type (DNA/AA/BIN/MORPH/CODON[n], "
                         "n = NCBI genetic code id)")
@@ -77,6 +91,8 @@ def parse_args(argv) -> RunConfig:
     p.add_argument("-nt", dest="n_threads", type=int, default=0)
     p.add_argument("-wsl", dest="wsl", action="store_true",
                    help="write site log-likelihoods")
+    p.add_argument("-wsr", dest="wsr", action="store_true",
+                   help="write site-specific rates (.rate)")
     p.add_argument("-redo", dest="redo", action="store_true")
     p.add_argument("-quiet", dest="quiet", action="store_true")
     p.add_argument("-bb", dest="ufboot", type=int, default=0,
@@ -97,6 +113,29 @@ def parse_args(argv) -> RunConfig:
                    help="partition file; edge-linked proportional")
     p.add_argument("-q", "-spj", dest="spj", default=None, metavar="FILE",
                    help="partition file; edge-linked equal (joint)")
+    p.add_argument("-lmap", dest="lmap", type=int, default=0,
+                   help="likelihood mapping with this many random quartets")
+    p.add_argument("-wql", dest="wql", action="store_true",
+                   help="write quartet log-likelihoods (-lmap)")
+    p.add_argument("-con", dest="con", default=None, metavar="FILE",
+                   help="majority-rule consensus of trees in FILE")
+    p.add_argument("-minsup", dest="minsup", type=float, default=0.0)
+    p.add_argument("-sup", dest="sup", default=None, metavar="TARGET",
+                   help="assign support of trees (-t FILE) onto TARGET tree")
+    p.add_argument("-rf", dest="rf", nargs=2, default=None,
+                   metavar=("FILE", "FILE2"),
+                   help="RF distances between tree pairs of two files")
+    p.add_argument("-rf_all", dest="rf_all", default=None, metavar="FILE",
+                   help="all-vs-all RF distances of trees in FILE")
+    p.add_argument("-r", dest="rand_n", type=int, default=0, metavar="N",
+                   help="generate a random N-taxon tree")
+    p.add_argument("-rand", dest="rand_mode", default="yule",
+                   choices=["yule", "uniform", "caterpillar", "balanced",
+                            "star"])
+    p.add_argument("-k", dest="pd_k", type=int, default=0,
+                   help="PD taxon selection of size k on the -t tree")
+    p.add_argument("-mink", dest="pd_mink", type=int, default=0)
+    p.add_argument("-maxk", dest="pd_maxk", type=int, default=0)
     a = p.parse_args(argv)
 
     model = a.model
@@ -119,6 +158,7 @@ def parse_args(argv) -> RunConfig:
         max_seconds=a.maxtime * 60 if a.maxtime else None,
         n_threads=a.n_threads,
         write_site_lnl=a.wsl,
+        write_site_rates=a.wsr,
         redo=a.redo,
         quiet=a.quiet,
         ufboot=a.ufboot,
@@ -136,4 +176,16 @@ def parse_args(argv) -> RunConfig:
             "proportional" if a.spp else
             "joint" if a.spj else None
         ),
+        lmap=a.lmap,
+        write_quartet_lh=a.wql,
+        consensus_file=a.con,
+        min_support=a.minsup,
+        sup_target=a.sup,
+        rf_file=(a.rf[0] if a.rf else a.rf_all),
+        rf_file2=(a.rf[1] if a.rf else None),
+        random_tree_n=a.rand_n,
+        random_tree_mode=a.rand_mode,
+        pd_k=a.pd_k,
+        pd_min_k=a.pd_mink,
+        pd_max_k=a.pd_maxk,
     )

@@ -107,6 +107,9 @@ def fused_site_lnl(
     """Per-pattern log-likelihood [P] via the fused kernel."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    # Mosaic rejects int64 scalar-prefetch refs (x64 mode promotes the
+    # host schedule to i64); the node ids always fit in int32
+    steps = steps.astype(jnp.int32)
     n_taxa, S, P = tipsP.shape
     C = trans.shape[1]
     n_steps = steps.shape[0]
@@ -117,16 +120,20 @@ def fused_site_lnl(
         ptn_invar = jnp.pad(ptn_invar, (0, P_pad - P))
     dtype = trans.dtype
 
+    # constant block indices are written as i*0 so they inherit the
+    # program id's int32 dtype: under jax_enable_x64 a literal 0 lowers
+    # as i64 and Mosaic refuses the mixed (i64, i32) index-map signature
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(P_pad // tile,),
         in_specs=[
-            pl.BlockSpec((n_taxa, S, tile), lambda i, steps: (0, 0, i)),
-            pl.BlockSpec(trans.shape, lambda i, steps: (0, 0, 0, 0)),
-            pl.BlockSpec((C, S), lambda i, steps: (0, 0)),
-            pl.BlockSpec((1, tile), lambda i, steps: (0, i)),
+            pl.BlockSpec((n_taxa, S, tile), lambda i, steps: (i * 0, i * 0, i)),
+            pl.BlockSpec(trans.shape,
+                         lambda i, steps: (i * 0, i * 0, i * 0, i * 0)),
+            pl.BlockSpec((C, S), lambda i, steps: (i * 0, i * 0)),
+            pl.BlockSpec((1, tile), lambda i, steps: (i * 0, i)),
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda i, steps: (0, i)),
+        out_specs=pl.BlockSpec((1, tile), lambda i, steps: (i * 0, i)),
         scratch_shapes=[
             pltpu.VMEM((n_slots, C, S, tile), dtype),
             pltpu.VMEM((n_slots, tile), dtype),

@@ -30,6 +30,11 @@ def slot_schedule(tree: PhyloTree) -> Tuple[np.ndarray, int]:
     Tips are read directly from the tip-state arrays, not slots.
     """
     N = tree.n_taxa
+    from ... import native
+
+    nat = native.slot_schedule(N, tree.children)
+    if nat is not None:
+        return nat
 
     # register need (Strahler number)
     need = {}

@@ -75,6 +75,11 @@ class PhyloTree:
         The device root is always id 2N-3+... = N + n_internal - 1 = 2N-2.
         """
         N = self.n_taxa
+        from .. import native
+
+        lay = native.device_layout(N, self.children, width)
+        if lay is not None:
+            return lay
         depth = np.zeros(self.n_nodes, dtype=np.int32)
         po = self.postorder()
         for v in po:
@@ -106,6 +111,11 @@ class PhyloTree:
 
     def postorder(self) -> np.ndarray:
         """Internal nodes (including the virtual root, last) in post-order."""
+        from .. import native
+
+        po = native.postorder(self.n_taxa, self.children)
+        if po is not None:
+            return po
         order: List[int] = []
         stack = [(self.root, False)]
         while stack:
@@ -354,6 +364,11 @@ class PhyloTree:
         return frozenset(splits)
 
     def robinson_foulds(self, other: "PhyloTree") -> int:
+        from .. import native
+
+        d = native.robinson_foulds(self.n_taxa, self.children, other.children)
+        if d is not None:
+            return d
         a, b = self.splits_key(), other.splits_key()
         return len(a ^ b)
 
