@@ -447,6 +447,9 @@ def _run_search(cfg, aln, model_str, dtype, log, ckp=None):
         n_init_trees=cfg.n_init_trees,
         n_top_init=cfg.n_top_init,
         pers=cfg.pers,
+        use_iqp=cfg.use_iqp,
+        p_delete=cfg.p_delete,
+        k_represent=cfg.k_represent,
         unsuccess_iteration=cfg.unsuccess_iteration,
         fixed_iterations=cfg.n_iterations,
         max_seconds=cfg.max_seconds,

@@ -38,6 +38,9 @@ class RunConfig:
     model_test: bool = False  # -m TEST/TESTONLY
     model_test_only: bool = False
     pers: float = 0.5  # -pers
+    use_iqp: bool = False  # -iqp (IQP perturbation instead of random NNIs)
+    p_delete: Optional[float] = None  # -pdel
+    k_represent: int = 4  # -krep
     n_init_trees: int = 20  # -ninit (reference 100)
     n_top_init: int = 5  # -ntop (reference 20)
     f64: bool = False  # --f64 : full double precision
@@ -102,6 +105,12 @@ def parse_args(argv) -> RunConfig:
     p.add_argument("-alrt", dest="alrt", type=int, default=0,
                    help="SH-aLRT replicates")
     p.add_argument("-pers", dest="pers", type=float, default=0.5)
+    p.add_argument("-iqp", dest="iqp", action="store_true",
+                   help="IQP leaf re-insertion perturbation (iqtree.cpp:1939)")
+    p.add_argument("-pdel", dest="pdel", type=float, default=None,
+                   help="IQP leaf-deletion fraction")
+    p.add_argument("-krep", dest="krep", type=int, default=4,
+                   help="IQP representative-leaf-set size")
     p.add_argument("-ninit", dest="ninit", type=int, default=20)
     p.add_argument("-ntop", dest="ntop", type=int, default=5)
     p.add_argument("--f64", dest="f64", action="store_true",
@@ -167,6 +176,9 @@ def parse_args(argv) -> RunConfig:
         model_test=model_test,
         model_test_only=model_test_only,
         pers=a.pers,
+        use_iqp=a.iqp,
+        p_delete=a.pdel,
+        k_represent=a.krep,
         n_init_trees=a.ninit,
         n_top_init=a.ntop,
         f64=a.f64,

@@ -47,6 +47,9 @@ class SearchParams:
     pop_size: int = 5
     max_candidates: int = 10
     pers: float = 0.5  # perturbation strength (initPS, tools.cpp:865)
+    use_iqp: bool = False  # -iqp: IQP leaf re-insertion perturbation
+    p_delete: Optional[float] = None  # -pdel (IQP deletion fraction)
+    k_represent: int = 4  # -krep (IQP representative-set size)
     unsuccess_iteration: int = 100
     fixed_iterations: Optional[int] = None
     max_seconds: Optional[float] = None
@@ -107,6 +110,7 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     mparams = opt.init_params()
 
     # ---- initial tree -------------------------------------------------
+    dist = None
     if params.start_tree:
         tree = PhyloTree.from_newick(params.start_tree, aln.names, rng=rng)
         log("Using user start tree")
@@ -115,6 +119,23 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         ma0 = opt.build(mparams)
         dist = np.asarray(jax.jit(ml_distances)(ma0, site))
         tree = bionj_tree(dist)
+
+    # ---- perturbation operator (doRandomNNIs vs doIQP, iqtree.cpp:1939)
+    iqp = None
+    if params.use_iqp:
+        from .iqp import IQP
+
+        if dist is None:
+            ma0 = opt.build(mparams)
+            dist = np.asarray(jax.jit(ml_distances)(ma0, site))
+        iqp = IQP(dist, p_delete=params.p_delete,
+                  k_represent=params.k_represent)
+
+    def perturb(t: PhyloTree) -> PhyloTree:
+        if iqp is not None:
+            return iqp.perturb(t, rng)
+        random_nni_perturb(t, n_perturb, rng)
+        return t
 
     # ---- model initialization on the start tree ----------------------
     log("Optimizing model parameters on the start tree...")
@@ -226,8 +247,7 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         ckp.dump(force=False)
 
     while keep_searching():
-        t = cand.random_candidate(rng)
-        random_nni_perturb(t, n_perturb, rng)
+        t = perturb(cand.random_candidate(rng))
         r = engine.hill_climb(t, on_tree=on_tree)
         improved = r.lnl > best_lnl + 1e-6
         cand.update(r.tree, r.lnl)
