@@ -148,6 +148,11 @@ class ModelArrays(NamedTuple):
     rates: jnp.ndarray  # [C]
     props: jnp.ndarray  # [C]
     p_invar: jnp.ndarray  # scalar
+    # Non-reversible models only (UNREST, models/nonrev.py): the rate
+    # matrix itself; P(t) then goes through expm instead of the eigen
+    # path (reference: ModelNonRev::computeTransMatrix via matexp,
+    # /root/reference/model/modelnonrev.cpp:246).  None for reversible.
+    qmat: Optional[jnp.ndarray] = None  # [C, S, S] or None
 
     @property
     def num_states(self) -> int:
@@ -169,9 +174,29 @@ class ModelArrays(NamedTuple):
         cls, subst, rate: RateModel, dtype=jnp.float32
     ) -> "ModelArrays":
         from ..models.mixture import MixtureModel
+        from ..models.nonrev import NonRevModel
 
         if isinstance(subst, MixtureModel):
             return cls.from_mixture(subst, rate, dtype)
+        if isinstance(subst, NonRevModel):
+            from ..models.nonrev import nonrev_qmat
+
+            q, pi = nonrev_qmat(
+                jnp.asarray(subst.nr_rates, dtype=dtype), subst.num_states
+            )
+            r, w = rate.category_rates()
+            C, S = r.shape[0], subst.num_states
+            eye = jnp.broadcast_to(jnp.eye(S, dtype=dtype), (C, S, S))
+            return cls(
+                eigenvalues=jnp.zeros((C, S), dtype),
+                eigvec=eye,
+                inv_eigvec=eye,
+                state_freq=jnp.broadcast_to(pi.astype(dtype), (C, S)),
+                rates=jnp.asarray(r, dtype=dtype),
+                props=jnp.asarray(w, dtype=dtype),
+                p_invar=jnp.asarray(rate.p_invar, dtype=dtype),
+                qmat=jnp.broadcast_to(q.astype(dtype), (C, S, S)),
+            )
         lam, v, vinv = subst.eigen()
         r, w = rate.category_rates()
         C = r.shape[0]
@@ -279,6 +304,15 @@ def branch_transition_mats(model: ModelArrays, blen: jnp.ndarray) -> jnp.ndarray
     Batched analogue of the per-node eleft/eright computation in the
     reference kernels (phylokernel.h:163-181)."""
     t = blen[:, None] * model.rates[None, :]  # [V, C]
+    if model.qmat is not None:
+        # non-reversible path: P = expm(Q * r_c * t_v), batched over
+        # nodes x categories (ModelNonRev::computeTransMatrix,
+        # /root/reference/model/modelnonrev.cpp:246); solve-free expm
+        # because TPU XLA has no f64 LU (models/nonrev.py)
+        from ..models.nonrev import expm_taylor
+
+        qt = model.qmat[None, :, :, :] * t[:, :, None, None]  # [V,C,S,S]
+        return expm_taylor(qt)
     return transition_matrices(model.eigenvalues, model.eigvec, model.inv_eigvec, t)
 
 

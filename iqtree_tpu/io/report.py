@@ -98,7 +98,23 @@ def write_report(
         L.append(f"Transition/transversion ratio kappa: {subst.kappa:.4f}")
         L.append(f"Nonsynonymous/synonymous ratio omega: {subst.omega:.4f}")
         L.append("")
-    if subst.num_states == 4 and subst.rate_groups is not None:
+    if getattr(subst, "nr_rates", None) is not None:
+        # UNREST: print the full 4x4 rate table (ModelNonRev::writeInfo,
+        # /root/reference/model/modelnonrev.cpp:166)
+        L.append("Rate parameters (non-reversible, row-major):")
+        L.append("")
+        k = 0
+        for i, ni in enumerate(names):
+            row = []
+            for j in range(subst.num_states):
+                if j == i:
+                    row.append("      -")
+                else:
+                    row.append(f"{subst.nr_rates[k]:7.4f}")
+                    k += 1
+            L.append(f"  {ni}  " + "  ".join(row))
+        L.append("")
+    if subst.num_states == 4 and getattr(subst, "rate_groups", None) is not None:
         pairs = ["A-C", "A-G", "A-T", "C-G", "C-T", "G-T"]
         r = subst.sym_rates()
         idx = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]

@@ -298,6 +298,10 @@ def _create_subst(name: str, aln: Alignment) -> ReversibleModel:
     upper = name.upper()
     st = aln.states.seq_type
     if st == SEQ_DNA:
+        if upper == "UNREST":
+            from .nonrev import NonRevModel
+
+            return NonRevModel()
         return create_dna_model(name)
     if st == SEQ_BINARY:
         if upper in ("JC2", ""):

@@ -52,15 +52,27 @@ class ModelOptimizer:
     def __post_init__(self):
         from .codon import CodonModel
         from .mixture import MixtureModel
+        from .nonrev import NonRevModel
 
         self._jit_cache = {}
         s = self.subst
         self.is_mixture = isinstance(s, MixtureModel)
         self.is_codon = isinstance(s, CodonModel)
+        self.is_nonrev = isinstance(s, NonRevModel)
         self.opt_alpha = self.rate.has_gamma and not self.rate.fix_alpha
         self.opt_pinv = self.rate.has_invar and not self.rate.fix_p_invar
         self.opt_free = self.rate.is_free_rate
         self.max_pinv = 0.999  # caller may tighten to frac_const_sites
+        if self.is_nonrev:
+            # UNREST: 11 free off-diagonal rates (last pinned 1.0,
+            # modelnonrev.cpp:26); frequencies derive from Q, not free
+            self.opt_rates = False
+            self.opt_freq = False
+            self.opt_weights = False
+            self.opt_kappa = self.opt_omega = False
+            self.opt_nr = not s.fixed_rates
+            return
+        self.opt_nr = False
         if self.is_mixture:
             self.opt_rates = False
             self.opt_freq = False
@@ -105,6 +117,10 @@ class ModelOptimizer:
             p["mix_logits"] = jnp.asarray(
                 np.log(np.maximum(self.subst.weights, 1e-6)), dtype=dt
             )
+        if self.is_nonrev and self.opt_nr:
+            p["log_nr_rates"] = jnp.asarray(
+                np.log(np.maximum(self.subst.nr_rates[:-1], 1e-4)), dtype=dt
+            )
         if self.is_codon:
             if self.opt_kappa:
                 p["log_kappa"] = jnp.asarray(np.log(self.subst.kappa), dtype=dt)
@@ -142,6 +158,8 @@ class ModelOptimizer:
 
     # -- building ------------------------------------------------------
     def build(self, params: Dict[str, jnp.ndarray]) -> ModelArrays:
+        if self.is_nonrev:
+            return self._build_nonrev(params)
         if self.is_mixture:
             return self._build_mixture(params)
         dt = self.dtype
@@ -196,6 +214,34 @@ class ModelOptimizer:
             rates=rates,
             props=props,
             p_invar=jnp.asarray(pinv, dtype=dt),
+        )
+
+    def _build_nonrev(self, params) -> ModelArrays:
+        """UNREST ModelArrays: carries Q itself (qmat); the engine's
+        transition matrices then go through expm (models/nonrev.py)."""
+        from .nonrev import nonrev_qmat
+
+        dt = self.dtype
+        S = self.subst.num_states
+        if self.opt_nr:
+            r = jnp.concatenate(
+                [jnp.exp(params["log_nr_rates"]), jnp.ones((1,), dt)]
+            )
+        else:
+            r = jnp.asarray(self.subst.nr_rates, dtype=dt)
+        q, pi = nonrev_qmat(r, S)
+        rates, props, pinv = self._rate_part(params)
+        C = rates.shape[0]
+        eye = jnp.broadcast_to(jnp.eye(S, dtype=dt), (C, S, S))
+        return ModelArrays(
+            eigenvalues=jnp.zeros((C, S), dt),  # unused on the expm path
+            eigvec=eye,
+            inv_eigvec=eye,
+            state_freq=jnp.broadcast_to(pi.astype(dt), (C, S)),
+            rates=rates,
+            props=props,
+            p_invar=jnp.asarray(pinv, dtype=dt),
+            qmat=jnp.broadcast_to(q.astype(dt), (C, S, S)),
         )
 
     def _rate_part(self, params):
@@ -271,6 +317,10 @@ class ModelOptimizer:
             if self.opt_omega:
                 s.omega = float(np.exp(params["log_omega"]))
             s.refresh_exchange()
+        if self.is_nonrev and self.opt_nr:
+            s.set_rate_param_vector(
+                np.exp(np.asarray(params["log_nr_rates"]))
+            )
         if self.opt_rates:
             s.set_rate_param_vector(np.exp(np.asarray(params["log_rates"])))
         if self.opt_freq:
@@ -338,6 +388,45 @@ def fit_model_step(
     return p, -val
 
 
+def _optimize_nonrev_joint(
+    opt: ModelOptimizer,
+    tree: TreeArrays,
+    site: SiteData,
+    params: Dict[str, jnp.ndarray],
+    max_iters: int = 300,
+):
+    """Joint (UNREST rates, rate-model params, log branch lengths) L-BFGS.
+
+    Gradients flow through expm inside branch_transition_mats (the
+    custom-VJP loglik chains d lnL/dP -> dP/d(blen, Q) by autodiff)."""
+    pinned = jnp.asarray(np.asarray(tree.blen) <= 0.0)
+
+    key = ("nonrev", site.tip_codes.shape, max_iters)
+    fit = opt._jit_cache.get(key)
+    if fit is None:
+
+        def _fit(t, p):
+            state = {
+                "model": p,
+                "log_blen": jnp.log(jnp.maximum(t.blen, 1e-6)),
+            }
+
+            def neg(st):
+                bl = jnp.where(pinned, 0.0, jnp.exp(st["log_blen"]))
+                l, _ = loglik(t.with_blen(bl), opt.build(st["model"]), site)
+                return -l
+
+            st, val, _ = lbfgs_minimize(neg, state, max_iters=max_iters)
+            bl = jnp.where(pinned, 0.0, jnp.exp(st["log_blen"]))
+            return t.with_blen(bl), st["model"], -val
+
+        fit = jax.jit(_fit)
+        opt._jit_cache[key] = fit
+
+    tree, params, lnl = fit(tree, params)
+    return tree, params, float(lnl)
+
+
 def optimize_model_and_branches(
     opt: ModelOptimizer,
     tree: TreeArrays,
@@ -356,6 +445,15 @@ def optimize_model_and_branches(
     (tree, params, lnl)."""
     if params is None:
         params = opt.init_params()
+
+    if opt.is_nonrev:
+        # the theta-buffer Newton assumes the eigen path; UNREST instead
+        # optimizes rates + log branch lengths JOINTLY by L-BFGS through
+        # the expm custom-VJP likelihood (the reference falls back to
+        # derivative-free BFGS here, modelgtr.cpp:556 on ModelNonRev)
+        return _optimize_nonrev_joint(
+            opt, tree, site, params, max_iters=branch_sweeps + rounds * model_iters
+        )
 
     # one compiled executable per (optimizer, data shape, loop sizes):
     # repeated calls (and warmup vs timed runs) reuse the same jit entry
