@@ -182,6 +182,22 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         alrt_labels = bt.labels(sh=True, abayes=False)
 
+    # ---- WH-test (-m WHTEST; phyloanalysis.cpp:1886, whtest/) ---------
+    whtest_section = None
+    if cfg.whtest:
+        from .analysis.whtest import run_whtest
+
+        log("")
+        log("Testing model homogeneity by Weiss & von Haeseler (2003)...")
+        wh_alpha = rate.alpha if getattr(rate, "has_gamma", False) else 100.0
+        wh = run_whtest(aln, alpha=wh_alpha, n_sim=cfg.whtest_sim,
+                        seed=cfg.seed, log=log)
+        whtest_section = wh.report()
+        with open(prefix + ".whtest", "w") as f:
+            f.write(whtest_section)
+        log(whtest_section)
+        log(f"  WH-test report:                {prefix}.whtest")
+
     # ---- likelihood mapping (-lmap; quartet.cpp doLikelihoodMapping) --
     if cfg.lmap > 0:
         import jax
@@ -346,6 +362,31 @@ def _run_partitioned(cfg, seq_type, gcode, dtype, log, command, t0):
         f"{saln.n_parts} partitions, {saln.n_sites} sites "
         f"({cfg.partition_mode} branch lengths)"
     )
+
+    # ---- partitioned model selection (-m TEST / TESTMERGE[ONLY]) ------
+    # (testPartitionModel, /root/reference/phylotesting.cpp:833)
+    if cfg.model_test:
+        from .search.partition_select import test_partition_model
+
+        scheme = test_partition_model(
+            saln, dtype=dtype, log=log, merge=cfg.model_test_merge,
+        )
+        with open(prefix + ".best_scheme.nex", "w") as f:
+            f.write(scheme.nexus_scheme(saln))
+        with open(prefix + ".model", "w") as f:
+            for nm in scheme.set_names:
+                f.write(f"CHARSET {nm}\n{scheme.tables[nm]}\n\n")
+        log(f"  Best partition scheme:         {prefix}.best_scheme.nex")
+        if cfg.model_test_merge:
+            saln = scheme.merged_superalignment(saln)
+            log(f"Merged to {saln.n_parts} partitions")
+        else:
+            for k, m in enumerate(scheme.model_names):
+                saln.defs[k].model = m
+        if cfg.model_test_only:
+            _finish(prefix, [], t0, log)
+            return 0
+
     sp = SearchParams(
         model=cfg.model,
         seed=cfg.seed,

@@ -37,6 +37,9 @@ class RunConfig:
     alrt: int = 0  # -alrt replicates
     model_test: bool = False  # -m TEST/TESTONLY
     model_test_only: bool = False
+    model_test_merge: bool = False  # -m TESTMERGE[ONLY]
+    whtest: bool = False  # -m WHTEST (Weiss-von Haeseler homogeneity test)
+    whtest_sim: int = 1000  # -ns
     pers: float = 0.5  # -pers
     use_iqp: bool = False  # -iqp (IQP perturbation instead of random NNIs)
     p_delete: Optional[float] = None  # -pdel
@@ -111,6 +114,8 @@ def parse_args(argv) -> RunConfig:
                    help="IQP leaf-deletion fraction")
     p.add_argument("-krep", dest="krep", type=int, default=4,
                    help="IQP representative-leaf-set size")
+    p.add_argument("-ns", dest="whtest_sim", type=int, default=1000,
+                   help="number of WH-test simulations (-m WHTEST)")
     p.add_argument("-ninit", dest="ninit", type=int, default=20)
     p.add_argument("-ntop", dest="ntop", type=int, default=5)
     p.add_argument("--f64", dest="f64", action="store_true",
@@ -149,9 +154,24 @@ def parse_args(argv) -> RunConfig:
 
     model = a.model
     model_test = model_test_only = False
+    model_test_merge = False
+    whtest = False
+    if model == "WHTEST":
+        # reference substitutes GTR+G and runs the WH-test afterwards
+        # (phyloanalysis.cpp:1298,1886)
+        whtest = True
+        model = "GTR+G"
+
     if model in ("TEST", "TESTONLY"):
         model_test = True
         model_test_only = model == "TESTONLY"
+        model = None
+    elif model in ("TESTMERGE", "TESTMERGEONLY",
+                   "TESTNEWMERGE", "TESTNEWMERGEONLY"):
+        # PartitionFinder-style charset merging (phylotesting.cpp:833)
+        model_test = True
+        model_test_merge = True
+        model_test_only = model.endswith("ONLY")
         model = None
     return RunConfig(
         aln_file=a.aln_file,
@@ -175,6 +195,9 @@ def parse_args(argv) -> RunConfig:
         alrt=a.alrt,
         model_test=model_test,
         model_test_only=model_test_only,
+        model_test_merge=model_test_merge,
+        whtest=whtest,
+        whtest_sim=a.whtest_sim,
         pers=a.pers,
         use_iqp=a.iqp,
         p_delete=a.pdel,

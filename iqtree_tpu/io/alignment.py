@@ -399,6 +399,37 @@ class Alignment:
             states=states,
         )
 
+    @classmethod
+    def concatenate(cls, parts: List["Alignment"]) -> "Alignment":
+        """Concatenate alignments over the same taxon set at the pattern
+        level (SuperAlignment::concatenateAlignments,
+        /root/reference/superalignment.cpp), re-compressing identical
+        patterns across the inputs with weight-aware counts."""
+        first = parts[0]
+        for p in parts[1:]:
+            if p.names != first.names:
+                raise ValueError("concatenate: taxon sets differ")
+            if p.states.seq_type != first.states.seq_type or \
+                    p.num_states != first.num_states:
+                raise ValueError("concatenate: sequence types differ")
+        pats = np.hstack([p.patterns for p in parts])
+        freqs = np.concatenate([p.pattern_freq for p in parts])
+        s2p_parts, off = [], 0
+        for p in parts:
+            s2p_parts.append(p.site_to_pattern + off)
+            off += p.n_patterns
+        s2p_all = np.concatenate(s2p_parts)
+        cols = np.ascontiguousarray(pats.T)
+        uniq, inv = np.unique(cols, axis=0, return_inverse=True)
+        freq_new = np.bincount(inv, weights=freqs, minlength=uniq.shape[0])
+        return cls(
+            names=list(first.names),
+            patterns=np.ascontiguousarray(uniq.T).astype(np.int32),
+            pattern_freq=freq_new.astype(np.float64),
+            site_to_pattern=inv[s2p_all].astype(np.int32),
+            states=first.states,
+        )
+
 
 # ---------------------------------------------------------------------------
 # File readers (PHYLIP / FASTA / NEXUS / CLUSTAL)

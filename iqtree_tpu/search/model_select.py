@@ -142,8 +142,13 @@ def _fit_class_dna(
         else:
             rates = jnp.ones((1,), dtype)
             props = jnp.ones((1,), dtype) * (1.0 - pinv)
-        return ModelArrays(lam.astype(dtype), v.astype(dtype), vinv.astype(dtype),
-                           base_freq, rates, props, jnp.asarray(pinv, dtype))
+        C, S = rates.shape[0], 4
+        return ModelArrays(
+            jnp.broadcast_to(lam.astype(dtype), (C, S)),
+            jnp.broadcast_to(v.astype(dtype), (C, S, S)),
+            jnp.broadcast_to(vinv.astype(dtype), (C, S, S)),
+            jnp.broadcast_to(base_freq, (C, S)),
+            rates, props, jnp.asarray(pinv, dtype))
 
     return _fit_batched(
         params, build_one, (onehots, base_freqs), site, tree_arrays, dtype,
@@ -233,8 +238,13 @@ def _fit_class_protein(
         else:
             rates = jnp.ones((1,), dtype)
             props = jnp.ones((1,), dtype) * (1.0 - pinv)
-        return ModelArrays(lam.astype(dtype), v.astype(dtype), vinv.astype(dtype),
-                           fr, rates, props, jnp.asarray(pinv, dtype))
+        C, S = rates.shape[0], lam.shape[0]
+        return ModelArrays(
+            jnp.broadcast_to(lam.astype(dtype), (C, S)),
+            jnp.broadcast_to(v.astype(dtype), (C, S, S)),
+            jnp.broadcast_to(vinv.astype(dtype), (C, S, S)),
+            jnp.broadcast_to(fr, (C, S)),
+            rates, props, jnp.asarray(pinv, dtype))
 
     return _fit_batched(
         params, build_one, (exchanges, freqs), site, tree_arrays, dtype, rounds
@@ -248,8 +258,12 @@ def run_model_selection(
     criterion: str = "BIC",
     tree: Optional[PhyloTree] = None,
     rate_classes: Optional[List[str]] = None,
+    return_details: bool = False,
 ) -> Tuple[str, str]:
-    """Returns (best model string, report table)."""
+    """Returns (best model string, report table); with return_details,
+    (best, table, details) where details = dict(lnl, df, tree_len,
+    results) for the partition-merge driver (testPartitionModel,
+    /root/reference/phylotesting.cpp:833)."""
     site = SiteData.from_alignment(aln, dtype)
     st = aln.states.seq_type
     rate_classes = rate_classes or RATE_CLASSES
@@ -333,4 +347,12 @@ def run_model_selection(
             f"{r.aicc:>14.4f} {r.bic:>14.4f}"
         )
     table = "\n".join(lines)
+    if return_details:
+        details = dict(
+            lnl=best.lnl,
+            df=best.df,
+            tree_len=float(np.sum(np.maximum(tree.blen, 0.0))),
+            results=results,
+        )
+        return best.name, table, details
     return best.name, table
