@@ -44,7 +44,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # ---- utility modes (no alignment; pda.cpp:2436-2480 dispatch) -----
     if (cfg.consensus_file or cfg.sup_target or cfg.rf_file
-            or cfg.random_tree_n or cfg.pd_k or cfg.pd_max_k):
+            or cfg.random_tree_n or cfg.pd_k or cfg.pd_max_k
+            or cfg.ncbi_taxid):
         rc = _run_utility(cfg, log)
         _finish(prefix, log_lines, t0, log)
         return rc
@@ -91,6 +92,41 @@ def main(argv: Optional[List[str]] = None) -> int:
         f"Alignment: {aln.n_taxa} sequences, {aln.n_sites} sites, "
         f"{aln.n_patterns} patterns ({aln.states.seq_type})"
     )
+
+    # ---- alignment utility modes (pda.cpp:2420-2427 dispatch) ---------
+    if cfg.site_lnl_file or cfg.mprob_ref or cfg.pars_multistate:
+        if cfg.site_lnl_file:
+            from .analysis.guided_bootstrap import (
+                guided_bootstrap,
+                read_site_lnl_file,
+            )
+
+            site_lnl = read_site_lnl_file(cfg.site_lnl_file)
+            guided_bootstrap(aln, site_lnl, prefix, log=log)
+        if cfg.mprob_ref:
+            from .analysis.guided_bootstrap import multinomial_prob_of
+
+            ref = read_alignment(cfg.mprob_ref, seq_type=seq_type,
+                                 genetic_code=gcode)
+            p = multinomial_prob_of(aln, ref)
+            with open(prefix + ".mprob", "w") as f:
+                f.write(f"{p:.10g}\n")
+            log(f"Log multinomial probability of {cfg.aln_file} given "
+                f"{cfg.mprob_ref}: {p:.6f}")
+        if cfg.pars_multistate:
+            # -tina: multistate parsimony score on the -t tree
+            # (doParsMultiState, parsmultistate.cpp)
+            from .engine.parsimony import parsimony_score
+            from .trees.tree import PhyloTree
+
+            if not cfg.user_tree:
+                log("ERROR: -tina needs -t <tree>")
+                return 2
+            t = PhyloTree.from_newick(open(cfg.user_tree).read(), aln.names)
+            score = parsimony_score(t, aln)
+            log(f"Parsimony score is: {int(score)}")
+        _finish(prefix, log_lines, t0, log)
+        return 0
 
     from .models.factory import default_model, parse_model_string
 
@@ -306,6 +342,22 @@ def _run_utility(cfg, log) -> int:
     from .analysis import treeutils
 
     prefix = cfg.prefix or "iqtree_tpu_util"
+    if cfg.ncbi_taxid:
+        # -dmp TAXID: NCBI taxonomy extraction (pda.cpp:2415)
+        from .analysis.ncbitree import ncbi_subtree_newick
+
+        if not cfg.user_tree:
+            log("ERROR: -dmp needs -t <nodes.dmp>")
+            return 2
+        nwk = ncbi_subtree_newick(
+            cfg.user_tree, cfg.ncbi_taxid, taxon_rank=cfg.ncbi_rank,
+            ignore_rank=cfg.ncbi_ignore, names_dmp=cfg.ncbi_names, log=log,
+        )
+        out = cfg.user_tree + ".tree" if not cfg.prefix else prefix + ".tree"
+        with open(out, "w") as f:
+            f.write(nwk + "\n")
+        log(f"NCBI tree printed to {out}")
+        return 0
     if cfg.consensus_file:
         treeutils.run_consensus(cfg.consensus_file, prefix,
                                 minsup=cfg.min_support, log=log)

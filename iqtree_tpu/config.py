@@ -60,6 +60,13 @@ class RunConfig:
     rf_file2: Optional[str] = None
     random_tree_n: int = 0  # -r N
     random_tree_mode: str = "yule"  # -rand yule|uniform|caterpillar|balanced|star
+    site_lnl_file: Optional[str] = None  # -gbo FILE (guided bootstrap)
+    mprob_ref: Optional[str] = None  # -mprob REF_ALIGNMENT
+    pars_multistate: bool = False  # -tina (multistate parsimony score)
+    ncbi_taxid: int = 0  # -dmp TAXID (nodes.dmp via -t)
+    ncbi_rank: Optional[str] = None  # -dmprank
+    ncbi_ignore: Optional[str] = None  # -dmpignore
+    ncbi_names: Optional[str] = None  # -dmpname names.dmp
     pd_k: int = 0  # -k N (PD selection on -t tree)
     pd_min_k: int = 0  # -mink
     pd_max_k: int = 0  # -maxk
@@ -146,6 +153,17 @@ def parse_args(argv) -> RunConfig:
     p.add_argument("-rand", dest="rand_mode", default="yule",
                    choices=["yule", "uniform", "caterpillar", "balanced",
                             "star"])
+    p.add_argument("-gbo", dest="gbo", default=None, metavar="SITELH",
+                   help="guided bootstrap from a site log-likelihood file")
+    p.add_argument("-mprob", dest="mprob", default=None, metavar="REF",
+                   help="multinomial probability of -s given REF alignment")
+    p.add_argument("-tina", dest="tina", action="store_true",
+                   help="parsimony score of -t tree on -s (multistate) data")
+    p.add_argument("-dmp", dest="dmp", type=int, default=0, metavar="TAXID",
+                   help="extract NCBI taxonomy subtree (nodes.dmp via -t)")
+    p.add_argument("-dmprank", "-dmplevel", dest="dmprank", default=None)
+    p.add_argument("-dmpignore", dest="dmpignore", default=None)
+    p.add_argument("-dmpname", dest="dmpname", default=None)
     p.add_argument("-k", dest="pd_k", type=int, default=0,
                    help="PD taxon selection of size k on the -t tree")
     p.add_argument("-mink", dest="pd_mink", type=int, default=0)
@@ -220,6 +238,13 @@ def parse_args(argv) -> RunConfig:
         rf_file2=(a.rf[1] if a.rf else None),
         random_tree_n=a.rand_n,
         random_tree_mode=a.rand_mode,
+        site_lnl_file=a.gbo,
+        mprob_ref=a.mprob,
+        pars_multistate=a.tina,
+        ncbi_taxid=a.dmp,
+        ncbi_rank=a.dmprank,
+        ncbi_ignore=a.dmpignore,
+        ncbi_names=a.dmpname,
         pd_k=a.pd_k,
         pd_min_k=a.pd_mink,
         pd_max_k=a.pd_maxk,

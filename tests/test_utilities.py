@@ -1,0 +1,130 @@
+"""Guided bootstrap, multinomial probability, NCBI taxonomy, multistate
+parsimony CLI utilities."""
+
+import os
+
+import numpy as np
+import pytest
+
+from iqtree_tpu.analysis.guided_bootstrap import (
+    expected_norm_freq,
+    guided_bootstrap,
+    multinomial_log_prob,
+    multinomial_prob_of,
+    read_site_lnl_file,
+)
+from iqtree_tpu.analysis.ncbitree import ncbi_subtree_newick
+from iqtree_tpu.io.alignment import Alignment, read_alignment
+
+
+def test_expected_norm_freq_sums_to_n():
+    rng = np.random.default_rng(0)
+    lnl = rng.normal(-8, 1, 50)
+    for n in (100, 377, 1000):
+        f = expected_norm_freq(lnl, n)
+        assert f.sum() == n
+        assert (f >= 0).all()
+
+
+def test_multinomial_log_prob_max_at_observed():
+    obs = np.array([10.0, 5.0, 3.0, 2.0])
+    n = int(obs.sum())
+    p_obs = multinomial_log_prob(obs, obs, n)
+    p_other = multinomial_log_prob(np.array([5.0, 10.0, 3.0, 2.0]), obs, n)
+    assert p_obs > p_other
+    # exact value vs scipy
+    from scipy.stats import multinomial
+
+    ref = multinomial.logpmf(obs, n, obs / n)
+    assert abs(p_obs - ref) < 1e-9
+
+
+def test_guided_bootstrap_outputs(tmp_path):
+    aln = read_alignment("tests/data/example.phy")
+    rng = np.random.default_rng(1)
+    # synthetic per-site lnls, constant within each pattern
+    pat_lnl = rng.normal(-10, 1, aln.n_patterns)
+    site_lnl = pat_lnl[aln.site_to_pattern]
+    prefix = str(tmp_path / "gbo_test")
+    log_p, log_p_max = guided_bootstrap(aln, site_lnl, prefix,
+                                        log=lambda s: None)
+    assert log_p <= log_p_max <= 0
+    assert os.path.exists(prefix + ".patInfo")
+    assert os.path.exists(prefix + ".gbo.logP")
+    # the emitted alignment must parse and have the same length + taxa
+    gbo = read_alignment(prefix + ".gbo")
+    assert gbo.n_taxa == aln.n_taxa
+    assert gbo.n_sites == aln.n_sites
+
+
+def test_read_site_lnl_roundtrip(tmp_path):
+    path = str(tmp_path / "x.sitelh")
+    with open(path, "w") as f:
+        f.write("1 5\nSite_Lh -1.5 -2.5 -3.5 -4.5 -5.5\n")
+    v = read_site_lnl_file(path)
+    np.testing.assert_allclose(v, [-1.5, -2.5, -3.5, -4.5, -5.5])
+
+
+def test_multinomial_prob_of_self_is_max():
+    aln = read_alignment("tests/data/example.phy")
+    p_self = multinomial_prob_of(aln, aln)
+    assert np.isfinite(p_self) and p_self < 0
+
+
+def test_ncbi_subtree(tmp_path):
+    nodes = tmp_path / "nodes.dmp"
+    names = tmp_path / "names.dmp"
+    # tiny taxonomy: 1 root; 2,3 kingdoms; 4,5 species under 2; 6 under 3;
+    # 7 subspecies under 4
+    nodes.write_text(
+        "1\t|\t1\t|\tno rank\t|\n"
+        "2\t|\t1\t|\tkingdom\t|\n"
+        "3\t|\t1\t|\tkingdom\t|\n"
+        "4\t|\t2\t|\tspecies\t|\n"
+        "5\t|\t2\t|\tspecies\t|\n"
+        "6\t|\t3\t|\tspecies\t|\n"
+        "7\t|\t4\t|\tsubspecies\t|\n"
+    )
+    names.write_text(
+        "1\t|\troot\t|\t\t|\tscientific name\t|\n"
+        "2\t|\tAnimalia\t|\t\t|\tscientific name\t|\n"
+        "4\t|\tHomo sapiens\t|\t\t|\tscientific name\t|\n"
+        "4\t|\thuman\t|\t\t|\tcommon name\t|\n"
+    )
+    nwk = ncbi_subtree_newick(str(nodes), 1, names_dmp=str(names),
+                              log=lambda s: None)
+    assert "Homo_sapiens" in nwk and "Animalia" in nwk and "7" in nwk
+    # cutting at species rank drops the subspecies
+    nwk2 = ncbi_subtree_newick(str(nodes), 1, taxon_rank="species",
+                               names_dmp=str(names), log=lambda s: None)
+    assert "7" not in nwk2 and "Homo_sapiens" in nwk2
+    # subtree rooted below the full root
+    nwk3 = ncbi_subtree_newick(str(nodes), 2, log=lambda s: None)
+    assert "6" not in nwk3 and "5" in nwk3
+    # parses as a tree
+    from iqtree_tpu.io.newick import parse_newick
+
+    parse_newick(nwk)
+
+
+def test_cli_tina_and_gbo(tmp_path):
+    from iqtree_tpu.cli import main
+
+    # guided bootstrap through the CLI
+    aln = read_alignment("tests/data/example.phy")
+    sitelh = str(tmp_path / "ex.sitelh")
+    rng = np.random.default_rng(3)
+    pat_lnl = rng.normal(-9, 0.5, aln.n_patterns)
+    with open(sitelh, "w") as f:
+        f.write(f"1 {aln.n_sites}\nSite_Lh " + " ".join(
+            f"{x:.5f}" for x in pat_lnl[aln.site_to_pattern]) + "\n")
+    rc = main(["-s", "tests/data/example.phy", "-gbo", sitelh,
+               "-pre", str(tmp_path / "g"), "-quiet"])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "g") + ".gbo")
+
+    # -tina parsimony score on the golden tree
+    rc = main(["-s", "tests/data/example.phy", "-tina",
+               "-t", "tests/data/golden_tree_44.nwk",
+               "-pre", str(tmp_path / "t"), "-quiet"])
+    assert rc == 0
