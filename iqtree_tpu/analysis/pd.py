@@ -9,9 +9,9 @@ PD(S) = total branch length of the minimal subtree spanning taxon set S.
 * min-PD: iteratively prune the leaf with the smallest pendant
   contribution (pruning.h semantics).
 
-Budget/area/ecological-constraint variants of the reference use split
-networks + ILP (pdnetwork.h, lp_solve/Gurobi) and are not implemented;
-the tree-based selection here covers `-k` / `-mink -maxk` runs.
+Budget / area / split-network / GSS variants (the reference's
+pdnetwork.h + lp_solve/Gurobi ILP) live in analysis/pdnetwork.py,
+solved exactly by scipy's HiGHS MILP.
 """
 
 from __future__ import annotations

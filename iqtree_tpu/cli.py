@@ -45,7 +45,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     # ---- utility modes (no alignment; pda.cpp:2436-2480 dispatch) -----
     if (cfg.consensus_file or cfg.sup_target or cfg.rf_file
             or cfg.random_tree_n or cfg.pd_k or cfg.pd_max_k
-            or cfg.ncbi_taxid):
+            or cfg.pd_budget or cfg.gene_pvalue_file or cfg.ncbi_taxid):
         rc = _run_utility(cfg, log)
         _finish(prefix, log_lines, t0, log)
         return rc
@@ -384,10 +384,75 @@ def _run_utility(cfg, log) -> int:
         log(f"Random {cfg.random_tree_mode} tree with "
             f"{cfg.random_tree_n} taxa written to {out}")
         return 0
-    if cfg.pd_k or cfg.pd_max_k:
-        if not cfg.user_tree:
-            log("ERROR: PD selection needs -t <tree file>")
+    if cfg.gene_pvalue_file:
+        # GSS: gene-set selection (runGSSAnalysis, gss.cpp:329)
+        from .analysis.pdnetwork import run_gss
+
+        if not (cfg.user_tree and cfg.taxa_sets_file and cfg.pd_k):
+            log("ERROR: GSS needs -t <network>, -ts <sets>, -pval <file>, "
+                "-k <size>")
             return 2
+        run_gss(cfg.user_tree, cfg.taxa_sets_file, cfg.gene_pvalue_file,
+                cfg.pd_k, prefix, log=log)
+        return 0
+    if cfg.pd_k or cfg.pd_max_k or cfg.pd_budget:
+        if not cfg.user_tree:
+            log("ERROR: PD selection needs -t <tree/splits file>")
+            return 2
+        head = open(cfg.user_tree).read(200).lstrip().lower()
+        is_network = head.startswith("#nexus")
+        if is_network or cfg.pd_budget or cfg.costs_file or \
+                cfg.taxa_sets_file:
+            # exact ILP path: split networks / budgets / areas
+            # (PDNetwork::findPD, pdnetwork.cpp)
+            from .analysis.pdnetwork import (
+                _load_split_system,
+                max_pd_ilp,
+                read_costs_file,
+                read_taxa_sets,
+            )
+
+            ss = _load_split_system(cfg.user_tree)
+            area_taxa = None
+            unit_names = ss.names
+            if cfg.taxa_sets_file:
+                sets = read_taxa_sets(cfg.taxa_sets_file)
+                idx = {n: i for i, n in enumerate(ss.names)}
+                area_taxa = np.zeros((len(sets), ss.n_taxa), dtype=bool)
+                unit_names = list(sets)
+                for a, (nm, members) in enumerate(sets.items()):
+                    for t in members:
+                        if t not in idx:
+                            log(f"ERROR: taxon {t} of set {nm} not found")
+                            return 2
+                        area_taxa[a, idx[t]] = True
+            costs = (
+                read_costs_file(cfg.costs_file, unit_names)
+                if cfg.costs_file else np.ones(len(unit_names))
+            )
+            lines = ["Phylogenetic diversity selection (exact ILP)", ""]
+            ks = (
+                [None] if cfg.pd_budget
+                else range(max(cfg.pd_min_k or cfg.pd_k, 2),
+                           (cfg.pd_max_k or cfg.pd_k) + 1)
+            )
+            for kk in ks:
+                sol = max_pd_ilp(
+                    ss, k=kk, area_taxa=area_taxa,
+                    costs=costs if cfg.pd_budget else None,
+                    budget=cfg.pd_budget or None,
+                )
+                what = f"budget = {cfg.pd_budget}" if kk is None else f"k = {kk}"
+                lines.append(f"For {what} the optimal PD score is "
+                             f"{sol.score:.6g}")
+                lines.append(f"The optimal set has {sol.k} elements:")
+                for i in sorted(sol.taxa):
+                    lines.append(f"  {unit_names[i]}")
+                lines.append("")
+            with open(prefix + ".pda", "w") as f:
+                f.write("\n".join(lines) + "\n")
+            log(f"PD analysis written to {prefix}.pda")
+            return 0
         from .analysis.pd import run_pd_analysis
 
         run_pd_analysis(cfg.user_tree, prefix, k=cfg.pd_k or None,

@@ -70,6 +70,10 @@ class RunConfig:
     pd_k: int = 0  # -k N (PD selection on -t tree)
     pd_min_k: int = 0  # -mink
     pd_max_k: int = 0  # -maxk
+    pd_budget: float = 0.0  # -budget (costs via -costs)
+    costs_file: Optional[str] = None  # -costs FILE (name cost per line)
+    taxa_sets_file: Optional[str] = None  # -ts FILE (areas / gene sets)
+    gene_pvalue_file: Optional[str] = None  # -pval FILE (GSS)
 
     @property
     def out_prefix(self) -> str:
@@ -167,6 +171,13 @@ def parse_args(argv) -> RunConfig:
     p.add_argument("-k", dest="pd_k", type=int, default=0,
                    help="PD taxon selection of size k on the -t tree")
     p.add_argument("-mink", dest="pd_mink", type=int, default=0)
+    p.add_argument("-budget", dest="pd_budget", type=float, default=0.0,
+                   help="budgeted PD selection (costs from -costs)")
+    p.add_argument("-costs", dest="costs_file", default=None)
+    p.add_argument("-ts", dest="taxa_sets", default=None, metavar="FILE",
+                   help="taxon sets (areas / gene sets) for PD/GSS")
+    p.add_argument("-pval", dest="pval_file", default=None, metavar="FILE",
+                   help="gene p-values (GSS mode)")
     p.add_argument("-maxk", dest="pd_maxk", type=int, default=0)
     a = p.parse_args(argv)
 
@@ -248,4 +259,8 @@ def parse_args(argv) -> RunConfig:
         pd_k=a.pd_k,
         pd_min_k=a.pd_mink,
         pd_max_k=a.pd_maxk,
+        pd_budget=a.pd_budget,
+        costs_file=a.costs_file,
+        taxa_sets_file=a.taxa_sets,
+        gene_pvalue_file=a.pval_file,
     )
