@@ -45,7 +45,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     # ---- utility modes (no alignment; pda.cpp:2436-2480 dispatch) -----
     if (cfg.consensus_file or cfg.sup_target or cfg.rf_file
             or cfg.random_tree_n or cfg.pd_k or cfg.pd_max_k
-            or cfg.pd_budget or cfg.gene_pvalue_file or cfg.ncbi_taxid):
+            or cfg.pd_budget or cfg.gene_pvalue_file or cfg.ncbi_taxid
+            or cfg.ngs_file):
         rc = _run_utility(cfg, log)
         _finish(prefix, log_lines, t0, log)
         return rc
@@ -342,6 +343,13 @@ def _run_utility(cfg, log) -> int:
     from .analysis import treeutils
 
     prefix = cfg.prefix or "iqtree_tpu_util"
+    if cfg.ngs_file:
+        # -sf: NGS position-specific rate analysis (runNGSAnalysis,
+        # ngs.cpp:1103)
+        from .analysis.ngs import run_ngs_analysis
+
+        run_ngs_analysis(cfg.ngs_file, prefix, log=log)
+        return 0
     if cfg.ncbi_taxid:
         # -dmp TAXID: NCBI taxonomy extraction (pda.cpp:2415)
         from .analysis.ncbitree import ncbi_subtree_newick

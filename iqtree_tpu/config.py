@@ -74,6 +74,7 @@ class RunConfig:
     costs_file: Optional[str] = None  # -costs FILE (name cost per line)
     taxa_sets_file: Optional[str] = None  # -ts FILE (areas / gene sets)
     gene_pvalue_file: Optional[str] = None  # -pval FILE (GSS)
+    ngs_file: Optional[str] = None  # -sf FILE (NGS Fritz-format counts)
 
     @property
     def out_prefix(self) -> str:
@@ -178,6 +179,8 @@ def parse_args(argv) -> RunConfig:
                    help="taxon sets (areas / gene sets) for PD/GSS")
     p.add_argument("-pval", dest="pval_file", default=None, metavar="FILE",
                    help="gene p-values (GSS mode)")
+    p.add_argument("-sf", dest="ngs_file", default=None, metavar="FILE",
+                   help="NGS pairwise count file (position-specific rates)")
     p.add_argument("-maxk", dest="pd_maxk", type=int, default=0)
     a = p.parse_args(argv)
 
@@ -263,4 +266,5 @@ def parse_args(argv) -> RunConfig:
         costs_file=a.costs_file,
         taxa_sets_file=a.taxa_sets,
         gene_pvalue_file=a.pval_file,
+        ngs_file=a.ngs_file,
     )
