@@ -616,6 +616,8 @@ def _run_search(cfg, aln, model_str, dtype, log, ckp=None):
         use_iqp=cfg.use_iqp,
         p_delete=cfg.p_delete,
         k_represent=cfg.k_represent,
+        ub_filter=cfg.ub_nni,
+        ub_frac=cfg.ub_frac,
         unsuccess_iteration=cfg.unsuccess_iteration,
         fixed_iterations=cfg.n_iterations,
         max_seconds=cfg.max_seconds,

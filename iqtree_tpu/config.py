@@ -44,6 +44,8 @@ class RunConfig:
     use_iqp: bool = False  # -iqp (IQP perturbation instead of random NNIs)
     p_delete: Optional[float] = None  # -pdel
     k_represent: int = 4  # -krep
+    ub_nni: bool = False  # -upNNI (upper-bound NNI prefilter)
+    ub_frac: float = 0.0  # -upFrac
     n_init_trees: int = 20  # -ninit (reference 100)
     n_top_init: int = 5  # -ntop (reference 20)
     f64: bool = False  # --f64 : full double precision
@@ -126,6 +128,9 @@ def parse_args(argv) -> RunConfig:
                    help="IQP leaf-deletion fraction")
     p.add_argument("-krep", dest="krep", type=int, default=4,
                    help="IQP representative-leaf-set size")
+    p.add_argument("-upNNI", dest="ub_nni", action="store_true",
+                   help="skip NNIs with hopeless likelihood upper bounds")
+    p.add_argument("-upFrac", dest="ub_frac", type=float, default=0.0)
     p.add_argument("-ns", dest="whtest_sim", type=int, default=1000,
                    help="number of WH-test simulations (-m WHTEST)")
     p.add_argument("-ninit", dest="ninit", type=int, default=20)
@@ -234,6 +239,8 @@ def parse_args(argv) -> RunConfig:
         use_iqp=a.iqp,
         p_delete=a.pdel,
         k_represent=a.krep,
+        ub_nni=a.ub_nni,
+        ub_frac=a.ub_frac,
         n_init_trees=a.ninit,
         n_top_init=a.ntop,
         f64=a.f64,

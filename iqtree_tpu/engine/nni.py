@@ -261,3 +261,77 @@ def evaluate_nnis(
         cur_lnl=cur_lnl,
         site_lnl=site_lnls if want_site_lnl else None,
     )
+
+
+def nni_upper_bounds(
+    tree: TreeArrays,
+    model: ModelArrays,
+    site: SiteData,
+    edges: jnp.ndarray,  # [E] device node ids with internal parent edge
+) -> jnp.ndarray:
+    """[E, 2] upper bounds on the swapped-topology log-likelihood
+    (the `-upNNI` prefilter; getBestNNIForBranUB,
+    /root/reference/upperbounds.cpp:598, hook phylotree.cpp:2884).
+
+    UB(swap) = sum of the 4 subtree marginal lnLs
+             + n_sites * [logC(t_center) + logC(t_i+t_j) + logC(t_k+t_l)]
+    where logC(t) = log(max_ij P_ij(t) / min_s pi_s)
+    (upperbounds.cpp:809) and (i,j),(k,l) are the post-swap subtree
+    pairings.  One batched program for every branch at once — the
+    reference computes this per branch inside the NNI loop."""
+    trans = branch_transition_mats(model, tree.blen)
+    tips = tip_partials(site, model.ncat)
+    up, up_scale, mb, msc = upward_pass(tree, trans, tips, return_mailbox=True)
+    out, out_scale = downward_pass(
+        tree, trans, mb, msc, model.state_freq, with_d=False
+    )
+    min_freq = jnp.min(model.state_freq)
+    log_min_freq = jnp.log(jnp.maximum(min_freq, 1e-12))
+    log_w = jnp.log(jnp.maximum(model.props, 1e-300))
+    ptn_invar = _ptn_invar(model, site)
+    log_invar = jnp.log(jnp.maximum(ptn_invar, 1e-300))
+
+    def log_marg(partial, scale):
+        # per-(category, pattern) log of the pi-weighted subtree marginal
+        # — kept PER CATEGORY: the product of subtree marginals must be
+        # taken within a rate class, mixing first is not a bound
+        mix = jnp.einsum("cs,csp->cp", model.state_freq, partial,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jnp.log(jnp.maximum(mix, 1e-300)) + scale[None, :]
+
+    def log_c(t):
+        # log(max_ij P_ij(t) / min_s pi_s), maximized over rate classes
+        # (valid for each class; upperbounds.cpp:809 logC)
+        p = _pmat(model, t)  # [C,S,S]
+        return jnp.log(jnp.maximum(jnp.max(p), 1e-12)) - log_min_freq
+
+    def ub_edge(v):
+        u = tree.parent_of(v)
+        a = tree.children[v, 0]
+        b = tree.children[v, 1]
+        w_slot = jnp.where(tree.children[u, 0] == v, 1, 0)
+        c = tree.children[u, w_slot]
+        # [C,P] log product of the 4 subtree marginals per rate class
+        lp = (
+            log_marg(up[a], up_scale[a])
+            + log_marg(up[b], up_scale[b])
+            + log_marg(up[c], up_scale[c])
+            + log_marg(out[u], out_scale[u])
+        )
+        a_p = jax.scipy.special.logsumexp(lp + log_w[:, None], axis=0)  # [P]
+        t_a, t_b = tree.blen[a], tree.blen[b]
+        t_c, t_u, t_v = tree.blen[c], tree.blen[u], tree.blen[v]
+        lc_v = log_c(t_v)
+        # swap0 exchanges a<->c: v holds (c,b), u holds (a, outside);
+        # post-swap same-node branch pairs sum inside logC
+        # (getBestNNIForBranUB correspondence, upperbounds.cpp:645)
+        q0 = lc_v + log_c(t_c + t_b) + log_c(t_a + t_u) + 2.0 * (-log_min_freq)
+        q1 = lc_v + log_c(t_c + t_a) + log_c(t_b + t_u) + 2.0 * (-log_min_freq)
+
+        def total(q):
+            ub_p = jnp.logaddexp(a_p + q, log_invar)
+            return jnp.sum(site.pattern_freq * ub_p)
+
+        return jnp.stack([total(q0), total(q1)])
+
+    return jax.vmap(ub_edge)(edges)

@@ -381,11 +381,17 @@ def fit_model_step(
     if not params:
         return params, _lnl(opt.build(params))
 
+    # scale the objective to O(1) per site: raw |lnL| grows with the
+    # alignment (1000 taxa x 10k sites => ~2.6e6) and the resulting
+    # gradient magnitudes break the Armijo line search's unit trial
+    # step, stalling L-BFGS far from the optimum
+    scale = jnp.sum(site.pattern_freq)
+
     def negloglik(p):
-        return -_lnl(opt.build(p))
+        return -_lnl(opt.build(p)) / scale
 
     p, val, _ = lbfgs_minimize(negloglik, params, max_iters=max_iters)
-    return p, -val
+    return p, -val * scale
 
 
 def _optimize_nonrev_joint(
@@ -410,15 +416,16 @@ def _optimize_nonrev_joint(
                 "model": p,
                 "log_blen": jnp.log(jnp.maximum(t.blen, 1e-6)),
             }
+            scale = jnp.sum(site.pattern_freq)
 
             def neg(st):
                 bl = jnp.where(pinned, 0.0, jnp.exp(st["log_blen"]))
                 l, _ = loglik(t.with_blen(bl), opt.build(st["model"]), site)
-                return -l
+                return -l / scale
 
             st, val, _ = lbfgs_minimize(neg, state, max_iters=max_iters)
             bl = jnp.where(pinned, 0.0, jnp.exp(st["log_blen"]))
-            return t.with_blen(bl), st["model"], -val
+            return t.with_blen(bl), st["model"], -val * scale
 
         fit = jax.jit(_fit)
         opt._jit_cache[key] = fit

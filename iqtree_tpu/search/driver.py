@@ -50,6 +50,8 @@ class SearchParams:
     use_iqp: bool = False  # -iqp: IQP leaf re-insertion perturbation
     p_delete: Optional[float] = None  # -pdel (IQP deletion fraction)
     k_represent: int = 4  # -krep (IQP representative-set size)
+    ub_filter: bool = False  # -upNNI upper-bound prefilter
+    ub_frac: float = 0.0  # -upFrac
     unsuccess_iteration: int = 100
     fixed_iterations: Optional[int] = None
     max_seconds: Optional[float] = None
@@ -147,7 +149,8 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     log(f"Start tree lnL: {lnl:.4f}")
 
     model_arrays = jax.jit(opt.build)(mparams)
-    engine = NNIEngine(model_arrays, site, dtype=dtype, nni5=params.nni5)
+    engine = NNIEngine(model_arrays, site, dtype=dtype, nni5=params.nni5,
+                       ub_filter=params.ub_filter, ub_frac=params.ub_frac)
 
     # ---- UFBoot setup -------------------------------------------------
     ufboot = None

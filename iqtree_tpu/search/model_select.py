@@ -173,8 +173,12 @@ def _fit_batched(params, build_one, consts, site, tree_arrays, dtype, rounds):
     lnl_vm = jax.vmap(lnl_one, in_axes=(0, 0) + (0,) * len(consts))
 
     def model_step(params, blens):
+        scale = jnp.sum(site.pattern_freq) * M
+
         def neg(p):
-            return -jnp.sum(lnl_vm(p, blens, *consts))
+            # per-site scaling keeps the Armijo line search healthy
+            # (see models/optimize.py fit_model_step)
+            return -jnp.sum(lnl_vm(p, blens, *consts)) / scale
 
         p, _, _ = lbfgs_minimize(neg, params, max_iters=50)
         return p

@@ -44,10 +44,21 @@ class NNIEngine:
     """Holds jitted device functions for one (model, alignment) context."""
 
     def __init__(self, model: ModelArrays, site: SiteData, dtype=jnp.float64,
-                 nni5: bool = True):
+                 nni5: bool = True, ub_filter: bool = False,
+                 ub_frac: float = 0.0):
         self.model = model
         self.site = site
         self.dtype = dtype
+        # -upNNI: skip NNI evaluation for branches whose likelihood upper
+        # bound is hopeless (phylotree.cpp:2884 hook, upperbounds.cpp)
+        self.ub_filter = ub_filter
+        self.ub_frac = ub_frac
+        if ub_filter:
+            from ..engine.nni import nni_upper_bounds
+
+            self._ub = jax.jit(
+                lambda t, m, edges: nni_upper_bounds(t, m, self.site, edges)
+            )
         self._eval = jax.jit(
             lambda t, m, edges: evaluate_nnis(t, m, self.site, edges, nni5=nni5)
         )
@@ -99,9 +110,38 @@ class NNIEngine:
                 break
             ta = self.arrays(tree)
             edges_dev = np.asarray(ta.h2d)[edges]
-            ev = self._eval(ta, self.model, jnp.asarray(edges_dev))
-            lnls = np.asarray(ev.lnl)
-            centers = np.asarray(ev.center_blen)
+            if self.ub_filter:
+                # two-phase: cheap batched UBs for all branches, full
+                # evaluation only for branches whose UB clears
+                # (1+frac)*curScore (phylotree.cpp:2891); the survivor
+                # set pads to a power-of-two bucket to bound recompiles
+                ubs = np.asarray(
+                    self._ub(ta, self.model, jnp.asarray(edges_dev))
+                )
+                keep = np.where(
+                    ubs.max(axis=1) >= (1.0 + self.ub_frac) * cur
+                )[0]
+                if len(keep) == 0:
+                    break
+                if len(keep) < len(edges):
+                    edges = edges[keep]
+                    bucket = 1 << (len(keep) - 1).bit_length()
+                    pad = np.concatenate(
+                        [keep, np.full(bucket - len(keep), keep[0])]
+                    )
+                    ev = self._eval(
+                        ta, self.model, jnp.asarray(edges_dev[pad])
+                    )
+                    lnls = np.asarray(ev.lnl)[: len(keep)]
+                    centers = np.asarray(ev.center_blen)[: len(keep)]
+                else:
+                    ev = self._eval(ta, self.model, jnp.asarray(edges_dev))
+                    lnls = np.asarray(ev.lnl)
+                    centers = np.asarray(ev.center_blen)
+            else:
+                ev = self._eval(ta, self.model, jnp.asarray(edges_dev))
+                lnls = np.asarray(ev.lnl)
+                centers = np.asarray(ev.center_blen)
             delta = lnls - cur
             pos = np.argwhere(delta > LOGL_EPSILON)
             if len(pos) == 0:
