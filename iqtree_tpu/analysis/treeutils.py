@@ -185,3 +185,48 @@ def _grow_tree(n_taxa, rng, mean_blen, pendant_only: bool) -> PhyloTree:
         edges.append((w, b))
         edges.append((w, t))
     return PhyloTree.from_adjacency(n_taxa, adj)
+
+
+def run_branch_stats(tree_file: str, out_prefix: str, log=print) -> None:
+    """-stats: branch-length statistics (branchStats, pda.cpp:1512)."""
+    trees, names = read_trees(tree_file)
+    tree = trees[0]
+    N = tree.n_taxa
+    R = tree.root
+    rows, internal = [], []
+    for v in range(tree.n_nodes - 1):
+        p = int(tree.parent[v])
+        if p == R and 0 in tree.children[R]:
+            continue  # half-edges of the virtual root handled below
+        rows.append((v, p, float(tree.blen[v]), v >= N))
+        if v >= N and p != R:
+            internal.append(float(tree.blen[v]))
+    c0, c1 = int(tree.children[R, 0]), int(tree.children[R, 1])
+    pend = float(tree.blen[c0]) + float(tree.blen[c1])
+    rows.append((c0, c1, pend, False))
+    lens = np.array([r[2] for r in rows])
+    with open(out_prefix + ".stats", "w") as f:
+        f.write(f"Branches: {len(rows)}\n")
+        f.write(f"Total tree length: {lens.sum():.6g}\n")
+        f.write(f"Min/Mean/Max branch length: {lens.min():.6g} "
+                f"{lens.mean():.6g} {lens.max():.6g}\n\n")
+        f.write("node1\tnode2\tlength\tinternal\n")
+        for v, p, l, isint in rows:
+            f.write(f"{v}\t{p}\t{l:.6g}\t{int(isint)}\n")
+    with open(out_prefix + ".inlen", "w") as f:
+        for l in internal:
+            f.write(f"{l:.6g}\n")
+    log(f"Branch statistics written to {out_prefix}.stats (+ .inlen)")
+
+
+def run_scale_branch_length(tree_file: str, factor: float,
+                            out_prefix: str, log=print) -> None:
+    """-scale: multiply all branch lengths (scaleBranchLength,
+    pda.cpp run_mode SCALE_BRANCH_LEN)."""
+    trees, names = read_trees(tree_file)
+    with open(out_prefix + ".scaled.treefile", "w") as f:
+        for t in trees:
+            t.blen = t.blen * factor
+            f.write(t.to_newick(names) + "\n")
+    log(f"Scaled tree(s) (x{factor}) written to "
+        f"{out_prefix}.scaled.treefile")

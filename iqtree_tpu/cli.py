@@ -46,7 +46,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if (cfg.consensus_file or cfg.sup_target or cfg.rf_file
             or cfg.random_tree_n or cfg.pd_k or cfg.pd_max_k
             or cfg.pd_budget or cfg.gene_pvalue_file or cfg.ncbi_taxid
-            or cfg.ngs_file):
+            or cfg.ngs_file or cfg.branch_stats or cfg.scale_blen):
         rc = _run_utility(cfg, log)
         _finish(prefix, log_lines, t0, log)
         return rc
@@ -349,6 +349,19 @@ def _run_utility(cfg, log) -> int:
         from .analysis.ngs import run_ngs_analysis
 
         run_ngs_analysis(cfg.ngs_file, prefix, log=log)
+        return 0
+    if cfg.branch_stats:
+        if not cfg.user_tree:
+            log("ERROR: -stats needs -t <tree>")
+            return 2
+        treeutils.run_branch_stats(cfg.user_tree, prefix, log=log)
+        return 0
+    if cfg.scale_blen:
+        if not cfg.user_tree:
+            log("ERROR: -scale needs -t <tree>")
+            return 2
+        treeutils.run_scale_branch_length(cfg.user_tree, cfg.scale_blen,
+                                          prefix, log=log)
         return 0
     if cfg.ncbi_taxid:
         # -dmp TAXID: NCBI taxonomy extraction (pda.cpp:2415)

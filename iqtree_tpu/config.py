@@ -77,6 +77,8 @@ class RunConfig:
     taxa_sets_file: Optional[str] = None  # -ts FILE (areas / gene sets)
     gene_pvalue_file: Optional[str] = None  # -pval FILE (GSS)
     ngs_file: Optional[str] = None  # -sf FILE (NGS Fritz-format counts)
+    branch_stats: bool = False  # -stats (branch-length statistics of -t)
+    scale_blen: float = 0.0  # -scale FACTOR (scale -t branch lengths)
 
     @property
     def out_prefix(self) -> str:
@@ -186,6 +188,10 @@ def parse_args(argv) -> RunConfig:
                    help="gene p-values (GSS mode)")
     p.add_argument("-sf", dest="ngs_file", default=None, metavar="FILE",
                    help="NGS pairwise count file (position-specific rates)")
+    p.add_argument("-stats", dest="stats", action="store_true",
+                   help="branch-length statistics of the -t tree")
+    p.add_argument("-scale", dest="scale", type=float, default=0.0,
+                   help="scale branch lengths of the -t tree")
     p.add_argument("-maxk", dest="pd_maxk", type=int, default=0)
     a = p.parse_args(argv)
 
@@ -274,4 +280,6 @@ def parse_args(argv) -> RunConfig:
         taxa_sets_file=a.taxa_sets,
         gene_pvalue_file=a.pval_file,
         ngs_file=a.ngs_file,
+        branch_stats=a.stats,
+        scale_blen=a.scale,
     )

@@ -9,7 +9,7 @@ gather (the TPU-native analogue of computeTipPartialLikelihood,
 /root/reference/phylotreesse.cpp:359-460).
 
 Supported formats: PHYLIP (sequential + interleaved), FASTA, NEXUS data
-block, CLUSTAL (/root/reference/alignment.h:109-143).
+block, CLUSTAL, MSF (/root/reference/alignment.h:109-143).
 """
 
 from __future__ import annotations
@@ -450,12 +450,15 @@ def read_alignment(
         raise ValueError(f"alignment file {path} is empty")
     if fmt is None:
         head = text.lstrip()[:10].upper()
+        first_line = text.lstrip().splitlines()[0].upper()
         if head.startswith(">"):
             fmt = "fasta"
         elif head.startswith("#NEXUS"):
             fmt = "nexus"
         elif head.startswith("CLUSTAL"):
             fmt = "clustal"
+        elif "MULTIPLE_ALIGNMENT" in first_line:
+            fmt = "msf"
         else:
             fmt = "phylip"
     names, seqs = _READERS[fmt](text)
@@ -479,6 +482,8 @@ def read_raw(path: str, fmt: Optional[str] = None):
             fmt = "nexus"
         elif head.startswith("CLUSTAL"):
             fmt = "clustal"
+        elif "MULTIPLE_ALIGNMENT" in head:
+            fmt = "msf"
         else:
             fmt = "phylip"
     return _READERS[fmt](text)
@@ -552,6 +557,55 @@ def _read_clustal(text: str):
     return order, ["".join(chunks[n]) for n in order]
 
 
+def _read_msf(text: str):
+    """GCG MSF format (Alignment::readMSF,
+    /root/reference/alignment.cpp:1620): 'Name: X ... Len: N' headers,
+    '//' separator, then interleaved 'name blocks...' lines.  '.' and
+    '~' are gap characters in MSF."""
+    lines = text.splitlines()
+    if "MULTIPLE_ALIGNMENT" not in lines[0]:
+        raise ValueError(
+            "MSF file must start with header line MULTIPLE_ALIGNMENT"
+        )
+    order: List[str] = []
+    lens: Dict[str, int] = {}
+    chunks: Dict[str, List[str]] = {}
+    started = False
+    for line in lines[1:]:
+        s = line.strip()
+        if not s:
+            continue
+        if s.startswith("//"):
+            started = True
+            continue
+        if not started:
+            if s.startswith("Name:"):
+                rest = s[5:].strip()
+                name = rest.split()[0]
+                m = re.search(r"Len:\s*(\d+)", rest)
+                if not m:
+                    raise ValueError(
+                        f"MSF sequence description missing 'Len:': {s!r}"
+                    )
+                order.append(name)
+                lens[name] = int(m.group(1))
+                chunks[name] = []
+            continue
+        parts = s.split()
+        if parts[0] in chunks and len(parts) > 1:
+            chunks[parts[0]].append(
+                "".join(parts[1:]).replace(".", "-").replace("~", "-")
+            )
+    seqs = ["".join(chunks[n]) for n in order]
+    for n, sq in zip(order, seqs):
+        if len(sq) != lens[n]:
+            raise ValueError(
+                f"MSF sequence {n} has {len(sq)} characters, "
+                f"declared Len: {lens[n]}"
+            )
+    return order, seqs
+
+
 def _strip_nexus_comments(text: str) -> str:
     out, depth = [], 0
     for ch in text:
@@ -595,5 +649,6 @@ _READERS = {
     "fasta": _read_fasta,
     "phylip": _read_phylip,
     "clustal": _read_clustal,
+    "msf": _read_msf,
     "nexus": _read_nexus,
 }

@@ -128,3 +128,44 @@ def test_cli_tina_and_gbo(tmp_path):
                "-t", "tests/data/golden_tree_44.nwk",
                "-pre", str(tmp_path / "t"), "-quiet"])
     assert rc == 0
+
+
+def test_msf_reader(tmp_path):
+    msf = (
+        "!!NA_MULTIPLE_ALIGNMENT 1.0\n\n"
+        "   MSF:  16  Type: N    Check:  0   ..\n\n"
+        " Name: seq1 oo  Len:   16  Check:  0  Weight:  1.00\n"
+        " Name: seq2 oo  Len:   16  Check:  0  Weight:  1.00\n\n"
+        "//\n\n"
+        "seq1  ACGTACGT ACGT.CGT\n"
+        "seq2  ACGTAC~T ACGTACGT\n"
+    )
+    p = tmp_path / "x.msf"
+    p.write_text(msf)
+    aln = read_alignment(str(p))
+    assert aln.n_taxa == 2 and aln.n_sites == 16
+    assert aln.names == ["seq1", "seq2"]
+
+
+def test_branch_stats_and_scale(tmp_path):
+    from iqtree_tpu.analysis.treeutils import (
+        run_branch_stats,
+        run_scale_branch_length,
+        read_trees,
+    )
+    from iqtree_tpu.trees.tree import random_tree
+
+    t = random_tree(8, np.random.default_rng(1))
+    names = [f"t{i}" for i in range(8)]
+    f = tmp_path / "t.nwk"
+    f.write_text(t.to_newick(names))
+    run_branch_stats(str(f), str(tmp_path / "s"), log=lambda s: None)
+    stats = (tmp_path / "s.stats").read_text()
+    total = float([l for l in stats.splitlines()
+                   if l.startswith("Total tree length")][0].split(":")[1])
+    assert abs(total - t.blen.sum()) < 1e-4
+
+    run_scale_branch_length(str(f), 3.0, str(tmp_path / "sc"),
+                            log=lambda s: None)
+    t2, _ = read_trees(str(tmp_path / "sc.scaled.treefile"))
+    assert abs(t2[0].blen.sum() - 3.0 * t.blen.sum()) < 1e-6
