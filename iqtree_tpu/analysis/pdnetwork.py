@@ -316,6 +316,127 @@ def run_gss(
     return sol
 
 
+def read_food_web(path: str):
+    """ECOpd diet-composition matrix (ECOpd::readDAG,
+    /root/reference/ecopd.cpp:83): first line = number of species, then
+    one row per PREDATOR: `name w_1 ... w_n` with w_ij > 0 meaning j is
+    part of i's diet (weights = diet portions)."""
+    toks = open(path).read().split()
+    n = int(toks[0])
+    names, rows = [], []
+    pos = 1
+    for _ in range(n):
+        names.append(toks[pos])
+        pos += 1
+        row = [float(x) for x in toks[pos:pos + n]]
+        if len(row) != n or any(x < 0 for x in row):
+            raise ValueError("bad food-web matrix row")
+        rows.append(row)
+        pos += n
+    return names, np.asarray(rows)
+
+
+def run_ecopd(
+    tree_file: str,
+    dag_file: str,
+    k: int,
+    out_prefix: str,
+    diet_frac: float = 0.0,
+    initial: Sequence[str] = (),
+    log: Callable = print,
+) -> PDSolution:
+    """ECOpd: PD selection with food-web viability constraints
+    (processECOpd, pda.cpp:2417; IP formulation printECOlpRooted,
+    ecopd.cpp:400).  A predator may only be conserved if (unweighted)
+    at least one prey is, or (weighted, `-diet d`) if the conserved
+    prey cover >= d of its diet:
+        sum_prey w_ij x_i - T x_j >= 0,  T = d * sum_i w_ij.
+    Species in the food web but absent from the tree contribute no PD
+    but still constrain viability (ECOpd::OUT_tree)."""
+    from scipy.optimize import Bounds, LinearConstraint
+
+    ss = _load_split_system(tree_file)
+    web_names, web = read_food_web(dag_file)
+    # unified variable set: tree taxa first, then web-only species
+    names = list(ss.names)
+    idx = {n: i for i, n in enumerate(names)}
+    for n in web_names:
+        if n not in idx:
+            idx[n] = len(names)
+            names.append(n)
+    n_units = len(names)
+    n_splits = ss.n_splits
+
+    nvar = n_units + n_splits
+    c_obj = np.zeros(nvar)
+    c_obj[n_units:] = -ss.weights
+
+    rows, lbs, ubs = [], [], []
+    # split coverage on both sides (tree taxa columns only)
+    for s in range(n_splits):
+        for side in (ss.sides[s], ~ss.sides[s]):
+            row = np.zeros(nvar)
+            row[: ss.n_taxa] = -side.astype(float)
+            row[n_units + s] = 1.0
+            rows.append(row)
+            lbs.append(-np.inf)
+            ubs.append(0.0)
+    # viability: for each predator with prey
+    for j, pred in enumerate(web_names):
+        prey_w = web[j]
+        if prey_w.sum() <= 0:
+            continue  # basal species
+        row = np.zeros(nvar)
+        for i, prey in enumerate(web_names):
+            if prey_w[i] > 0:
+                row[idx[prey]] += float(prey_w[i])
+        thresh = (
+            diet_frac * prey_w.sum() if diet_frac > 0 else
+            float(prey_w[prey_w > 0].min())
+        )
+        row[idx[pred]] -= thresh
+        rows.append(row)
+        lbs.append(0.0)
+        ubs.append(np.inf)
+    # size constraint
+    row = np.zeros(nvar)
+    row[:n_units] = 1.0
+    rows.append(row)
+    lbs.append(-np.inf)
+    ubs.append(float(k))
+
+    lo = np.zeros(nvar)
+    hi = np.ones(nvar)
+    for nm in initial:
+        if nm not in idx:
+            raise ValueError(f"initial taxon {nm} unknown")
+        lo[idx[nm]] = 1.0
+    integrality = np.zeros(nvar)
+    integrality[:n_units] = 1
+
+    res = _solve_milp(
+        c_obj,
+        [LinearConstraint(np.asarray(rows), lbs, ubs)],
+        integrality,
+        Bounds(lo, hi),
+    )
+    x = res.x[:n_units]
+    chosen = [i for i in range(n_units) if x[i] > 0.5]
+    sol = PDSolution(
+        taxa=chosen,
+        names=[names[i] for i in chosen],
+        score=-float(res.fun),
+        k=len(chosen),
+    )
+    log(f"ECOpd optimal viable set (k<={k}, PD {sol.score:.4f}): "
+        + " ".join(sol.names))
+    with open(out_prefix + ".ecopd", "w") as f:
+        f.write(f"k = {k}, PD = {sol.score:.6f}\n")
+        for nm in sol.names:
+            f.write(nm + "\n")
+    return sol
+
+
 def _load_split_system(path: str) -> SplitSystem:
     head = open(path).read(200).lstrip().lower()
     if head.startswith("#nexus"):

@@ -46,7 +46,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if (cfg.consensus_file or cfg.sup_target or cfg.rf_file
             or cfg.random_tree_n or cfg.pd_k or cfg.pd_max_k
             or cfg.pd_budget or cfg.gene_pvalue_file or cfg.ncbi_taxid
-            or cfg.ngs_file or cfg.branch_stats or cfg.scale_blen):
+            or cfg.ngs_file or cfg.branch_stats or cfg.scale_blen
+            or cfg.eco_dag_file):
         rc = _run_utility(cfg, log)
         _finish(prefix, log_lines, t0, log)
         return rc
@@ -404,6 +405,16 @@ def _run_utility(cfg, log) -> int:
             f.write(t.to_newick(names) + "\n")
         log(f"Random {cfg.random_tree_mode} tree with "
             f"{cfg.random_tree_n} taxa written to {out}")
+        return 0
+    if cfg.eco_dag_file:
+        # ECOpd (processECOpd, pda.cpp:2417)
+        from .analysis.pdnetwork import run_ecopd
+
+        if not (cfg.user_tree and cfg.pd_k):
+            log("ERROR: ECOpd needs -t <tree>, -eco <food web>, -k <size>")
+            return 2
+        run_ecopd(cfg.user_tree, cfg.eco_dag_file, cfg.pd_k, prefix,
+                  diet_frac=cfg.eco_diet, log=log)
         return 0
     if cfg.gene_pvalue_file:
         # GSS: gene-set selection (runGSSAnalysis, gss.cpp:329)

@@ -79,6 +79,8 @@ class RunConfig:
     ngs_file: Optional[str] = None  # -sf FILE (NGS Fritz-format counts)
     branch_stats: bool = False  # -stats (branch-length statistics of -t)
     scale_blen: float = 0.0  # -scale FACTOR (scale -t branch lengths)
+    eco_dag_file: Optional[str] = None  # -eco FILE (food web, ECOpd)
+    eco_diet: float = 0.0  # -diet d (% of diet to conserve)
 
     @property
     def out_prefix(self) -> str:
@@ -192,6 +194,10 @@ def parse_args(argv) -> RunConfig:
                    help="branch-length statistics of the -t tree")
     p.add_argument("-scale", dest="scale", type=float, default=0.0,
                    help="scale branch lengths of the -t tree")
+    p.add_argument("-eco", dest="eco", default=None, metavar="FILE",
+                   help="ECOpd: food-web viability constraints file")
+    p.add_argument("-diet", dest="diet", type=float, default=0.0,
+                   help="ECOpd: %% of diet that must be conserved")
     p.add_argument("-maxk", dest="pd_maxk", type=int, default=0)
     a = p.parse_args(argv)
 
@@ -282,4 +288,6 @@ def parse_args(argv) -> RunConfig:
         ngs_file=a.ngs_file,
         branch_stats=a.stats,
         scale_blen=a.scale,
+        eco_dag_file=a.eco,
+        eco_diet=a.diet / 100.0 if a.diet > 1 else a.diet,
     )

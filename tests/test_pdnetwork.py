@@ -136,3 +136,45 @@ def test_gss(tmp_path):
     best = max(score(p) for p in itertools.combinations(range(4), 2))
     assert abs(sol.score - best) < 1e-6
     assert (tmp_path / "out.gss").exists()
+
+
+def test_ecopd(tmp_path):
+    """Viability: a high-PD predator can only be kept with its prey."""
+    from iqtree_tpu.analysis.pdnetwork import run_ecopd
+
+    # star tree: predator P has a huge pendant branch
+    net = tmp_path / "eco.nwk"
+    net.write_text("(P:10.0,a:1.0,b:1.0,c:0.2);\n")
+    web = tmp_path / "web.txt"
+    # P eats a and b; a, b, c are basal
+    web.write_text(
+        "4\n"
+        "P 0 1 1 0\n"
+        "a 0 0 0 0\n"
+        "b 0 0 0 0\n"
+        "c 0 0 0 0\n"
+    )
+    # k=2: P alone (with one basal) is viable -> {P, a} or {P, b}
+    sol = run_ecopd(str(net), str(web), 2, str(tmp_path / "o"),
+                    log=lambda s: None)
+    assert "P" in sol.names and ("a" in sol.names or "b" in sol.names)
+
+    # k=1: P is NOT viable alone; best single viable is a or b or c
+    sol1 = run_ecopd(str(net), str(web), 1, str(tmp_path / "o1"),
+                     log=lambda s: None)
+    assert "P" not in sol1.names
+
+    # weighted diet: P needs >= 60% of diet; a alone = 50% -> must take
+    # both a and b with k=3
+    web2 = tmp_path / "web2.txt"
+    web2.write_text(
+        "4\n"
+        "P 0 0.5 0.5 0\n"
+        "a 0 0 0 0\n"
+        "b 0 0 0 0\n"
+        "c 0 0 0 0\n"
+    )
+    sol2 = run_ecopd(str(net), str(web2), 3, str(tmp_path / "o2"),
+                     diet_frac=0.6, log=lambda s: None)
+    if "P" in sol2.names:
+        assert "a" in sol2.names and "b" in sol2.names
