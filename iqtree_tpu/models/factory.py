@@ -317,6 +317,14 @@ def _create_subst(name: str, aln: Alignment) -> ReversibleModel:
         if upper in ("MK", ""):
             return ReversibleModel("MK", ns, rate_groups=np.zeros(npairs, int),
                                    freq_type=FREQ_EQUAL)
+        if upper == "ORDERED":
+            # stepwise character change only (morph_model_names,
+            # phylotesting.cpp:45)
+            band = np.zeros((ns, ns))
+            for i in range(ns - 1):
+                band[i, i + 1] = band[i + 1, i] = 1.0
+            return ReversibleModel("ORDERED", ns, exchange=band,
+                                   freq_type=FREQ_EQUAL, fixed_rates=True)
         raise ModelParseError(f"unknown morphology model {name!r}")
     if st == SEQ_PROTEIN:
         from .protein import create_protein_model

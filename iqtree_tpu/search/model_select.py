@@ -216,6 +216,19 @@ def _fit_class_protein(
         freqs.append(emp if plus_f else f)
         ndims.append(19 if plus_f else 0)
         display.append(_display_name(nm, "") + ("+F" if plus_f else ""))
+    return _fit_class_exchange(
+        exchanges, freqs, ndims, display, site, tree_arrays, dtype,
+        has_gamma, has_invar, max_pinv, rounds,
+    )
+
+
+def _fit_class_exchange(
+    exchanges, freqs, ndims, display, site, tree_arrays, dtype,
+    has_gamma, has_invar, max_pinv, rounds=3,
+):
+    """Batched fit for models given by FIXED exchangeability matrices
+    (protein / binary / morphology test sets)."""
+    names = display
     exchanges = jnp.asarray(np.stack(exchanges), dtype=dtype)
     freqs = jnp.asarray(np.stack(freqs), dtype=dtype)
     M = len(names)
@@ -334,6 +347,31 @@ def run_model_selection(
                     has_invar, max_pinv, plus_f,
                 )
                 handle_class(fit_out, ndims, display, rc, has_gamma, has_invar)
+        elif st in (SEQ_BINARY, SEQ_MORPH):
+            # bin_model_names / morph_model_names (phylotesting.cpp:41-45)
+            S = aln.num_states
+            emp = aln.state_frequencies()
+            if st == SEQ_BINARY:
+                ones = np.ones((2, 2))
+                exchanges = [ones, ones]
+                freqs = [np.full(2, 0.5), emp]
+                ndims = [0, 1]
+                display = ["JC2", "GTR2"]
+            else:
+                flat = np.ones((S, S))
+                band = np.zeros((S, S))
+                for i in range(S - 1):
+                    band[i, i + 1] = band[i + 1, i] = 1.0
+                exchanges = [flat, band]
+                freqs = [np.full(S, 1.0 / S)] * 2
+                ndims = [0, 0]
+                display = ["MK", "ORDERED"]
+            fit_out, nd, disp = _fit_class_exchange(
+                exchanges, freqs, ndims, display, site, ta, dtype,
+                has_gamma, has_invar, max_pinv,
+            )
+            handle_class(fit_out, np.asarray(nd), disp, rc, has_gamma,
+                         has_invar)
         else:
             raise ValueError(f"model selection not supported for {st} yet")
 

@@ -57,7 +57,13 @@ def simulate_alignment(
                 u = rng.uniform(size=m.sum())
                 out[m] = (u[:, None] > cum[states[v][m]]).sum(axis=1)
             states[child] = out
-    chars = np.array(list("ACGT" if S == 4 else "ARNDCQEGHILKMFPSTWYV"[:S]))
+    if S == 4:
+        alphabet = "ACGT"
+    elif S == 20:
+        alphabet = "ARNDCQEGHILKMFPSTWYV"
+    else:  # binary / morphology
+        alphabet = "0123456789ABCDEFGHIJKLMNOPQRSTUV"[:S]
+    chars = np.array(list(alphabet))
     return ["".join(chars[states[i]]) for i in range(tree.n_taxa)]
 
 
