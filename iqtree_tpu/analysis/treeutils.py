@@ -230,3 +230,43 @@ def run_scale_branch_length(tree_file: str, factor: float,
             f.write(t.to_newick(names) + "\n")
     log(f"Scaled tree(s) (x{factor}) written to "
         f"{out_prefix}.scaled.treefile")
+
+
+def run_consensus_network(tree_file: str, out_prefix: str,
+                          cutoff: float = 0.0, log=print) -> None:
+    """-net: consensus network — ALL splits above the support cutoff
+    (compatible or not) as a weighted split system in NEXUS format
+    (computeConsensusNetwork, phyloanalysis.cpp:2877;
+    SplitGraph::saveFileNexus output layout, splitgraph.cpp:562)."""
+    from ..trees.splits import SplitCounter, tree_splits
+
+    trees, names = read_trees(tree_file)
+    N = trees[0].n_taxa
+    counter = SplitCounter(N)
+    for t in trees:
+        counter.add_tree(t)
+    splits = [
+        (s, counter.support(s))
+        for s in counter.counts
+        if counter.support(s) > cutoff
+    ]
+    # include the trivial splits with weight 1 (every tree has them)
+    out = [f"#nexus", "", "BEGIN Taxa;", f"DIMENSIONS ntax={N};",
+           "TAXLABELS"]
+    for i, n in enumerate(names):
+        out.append(f"[{i + 1}] '{n}'")
+    out += [";", "END; [Taxa]", "", "BEGIN Splits;",
+            f"DIMENSIONS ntax={N} nsplits={len(splits) + N};",
+            "FORMAT labels=no weights=yes confidences=no intervals=no;",
+            "MATRIX"]
+    for i in range(N):
+        out.append(f"\t1.0\t {i + 1},")
+    for s, w in sorted(splits, key=lambda e: -e[1]):
+        ids = " ".join(str(i + 1) for i in sorted(s))
+        out.append(f"\t{w:.6g}\t {ids},")
+    out += [";", "END; [Splits]", ""]
+    path = out_prefix + ".nex"
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    log(f"Consensus network ({len(splits)} non-trivial splits) printed "
+        f"to {path}")

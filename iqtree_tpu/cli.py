@@ -43,7 +43,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     log(f"Devices: {jax.devices()}")
 
     # ---- utility modes (no alignment; pda.cpp:2436-2480 dispatch) -----
-    if (cfg.consensus_file or cfg.sup_target or cfg.rf_file
+    if (cfg.consensus_file or cfg.network_file or cfg.sup_target or cfg.rf_file
             or cfg.random_tree_n or cfg.pd_k or cfg.pd_max_k
             or cfg.pd_budget or cfg.gene_pvalue_file or cfg.ncbi_taxid
             or cfg.ngs_file or cfg.branch_stats or cfg.scale_blen
@@ -383,6 +383,10 @@ def _run_utility(cfg, log) -> int:
     if cfg.consensus_file:
         treeutils.run_consensus(cfg.consensus_file, prefix,
                                 minsup=cfg.min_support, log=log)
+        return 0
+    if cfg.network_file:
+        treeutils.run_consensus_network(cfg.network_file, prefix,
+                                        cutoff=cfg.min_support, log=log)
         return 0
     if cfg.sup_target:
         if not cfg.user_tree:

@@ -56,6 +56,7 @@ class RunConfig:
     write_quartet_lh: bool = False  # -wql
     # utility modes (no alignment required; pda.cpp:2436-2480 dispatch)
     consensus_file: Optional[str] = None  # -con FILE
+    network_file: Optional[str] = None  # -net FILE (consensus network)
     min_support: float = 0.0  # -minsup
     sup_target: Optional[str] = None  # -sup TARGET (trees from -t)
     rf_file: Optional[str] = None  # -rf_all FILE | -rf FILE FILE2
@@ -154,6 +155,8 @@ def parse_args(argv) -> RunConfig:
                    help="write quartet log-likelihoods (-lmap)")
     p.add_argument("-con", dest="con", default=None, metavar="FILE",
                    help="majority-rule consensus of trees in FILE")
+    p.add_argument("-net", dest="net", default=None, metavar="FILE",
+                   help="consensus network of trees in FILE")
     p.add_argument("-minsup", dest="minsup", type=float, default=0.0)
     p.add_argument("-sup", dest="sup", default=None, metavar="TARGET",
                    help="assign support of trees (-t FILE) onto TARGET tree")
@@ -265,6 +268,7 @@ def parse_args(argv) -> RunConfig:
         lmap=a.lmap,
         write_quartet_lh=a.wql,
         consensus_file=a.con,
+        network_file=a.net,
         min_support=a.minsup,
         sup_target=a.sup,
         rf_file=(a.rf[0] if a.rf else a.rf_all),

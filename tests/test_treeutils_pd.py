@@ -124,3 +124,33 @@ def test_run_pd_analysis(tmp_path):
     out = (tmp_path / "pd.pda").read_text()
     assert "k = 5" in out
     assert res.score(5) > res.score(3)
+
+
+def test_consensus_network(tmp_path):
+    """-net: all above-cutoff splits, parseable by the SplitSystem
+    reader, supports consistent with SplitCounter."""
+    import numpy as np
+
+    from iqtree_tpu.analysis.pdnetwork import SplitSystem
+    from iqtree_tpu.analysis.treeutils import run_consensus_network
+    from iqtree_tpu.trees.splits import SplitCounter, tree_splits
+    from iqtree_tpu.trees.tree import random_tree
+
+    names = [f"t{i}" for i in range(8)]
+    trees = [random_tree(8, np.random.default_rng(s)) for s in range(5)]
+    f = tmp_path / "trees.nwk"
+    f.write_text("".join(t.to_newick(names) + "\n" for t in trees))
+    run_consensus_network(str(f), str(tmp_path / "net"), log=lambda s: None)
+    ss = SplitSystem.from_nexus(str(tmp_path / "net.nex"))
+    assert ss.names == names
+    counter = SplitCounter(8)
+    for t in trees:
+        counter.add_tree(t)
+    # every non-trivial split in the file carries its true support
+    for k in range(ss.n_splits):
+        side = frozenset(np.where(ss.sides[k])[0].tolist())
+        if len(side) in (1, 7):
+            assert ss.weights[k] == 1.0
+            continue
+        canon = side if 0 in side else frozenset(range(8)) - side
+        assert abs(ss.weights[k] - counter.support(canon)) < 1e-6
