@@ -646,6 +646,7 @@ def _run_search(cfg, aln, model_str, dtype, log, ckp=None):
         k_represent=cfg.k_represent,
         ub_filter=cfg.ub_nni,
         ub_frac=cfg.ub_frac,
+        fix_stable_splits=cfg.fix_stable_splits,
         unsuccess_iteration=cfg.unsuccess_iteration,
         fixed_iterations=cfg.n_iterations,
         max_seconds=cfg.max_seconds,

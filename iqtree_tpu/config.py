@@ -46,6 +46,7 @@ class RunConfig:
     k_represent: int = 4  # -krep
     ub_nni: bool = False  # -upNNI (upper-bound NNI prefilter)
     ub_frac: float = 0.0  # -upFrac
+    fix_stable_splits: bool = False  # -fss
     n_init_trees: int = 20  # -ninit (reference 100)
     n_top_init: int = 5  # -ntop (reference 20)
     f64: bool = False  # --f64 : full double precision
@@ -136,6 +137,8 @@ def parse_args(argv) -> RunConfig:
     p.add_argument("-upNNI", dest="ub_nni", action="store_true",
                    help="skip NNIs with hopeless likelihood upper bounds")
     p.add_argument("-upFrac", dest="ub_frac", type=float, default=0.0)
+    p.add_argument("-fss", dest="fss", action="store_true",
+                   help="fix stable splits (100%% support in candidates)")
     p.add_argument("-ns", dest="whtest_sim", type=int, default=1000,
                    help="number of WH-test simulations (-m WHTEST)")
     p.add_argument("-ninit", dest="ninit", type=int, default=20)
@@ -256,6 +259,7 @@ def parse_args(argv) -> RunConfig:
         k_represent=a.krep,
         ub_nni=a.ub_nni,
         ub_frac=a.ub_frac,
+        fix_stable_splits=a.fss,
         n_init_trees=a.ninit,
         n_top_init=a.ntop,
         f64=a.f64,

@@ -58,3 +58,22 @@ class CandidateSet:
 
     def contains(self, tree: PhyloTree) -> bool:
         return tree.splits_key() in self.entries
+
+    def stable_splits(self, num_support: int = 20):
+        """Splits with 100% support among the `num_support` best trees
+        (computeSplitSupport, candidateset.cpp:188-196; default
+        numSupportTrees=20, tools.cpp:884).  Empty until that many
+        candidates exist."""
+        ent = self.sorted_entries()
+        if len(ent) < max(2, min(num_support, self.max_size)):
+            return frozenset()
+        from ..trees.splits import tree_splits
+
+        take = ent[: num_support]
+        common = None
+        for _, t in take:
+            sp = frozenset(tree_splits(t))
+            common = sp if common is None else (common & sp)
+            if not common:
+                break
+        return common or frozenset()

@@ -52,6 +52,8 @@ class SearchParams:
     k_represent: int = 4  # -krep (IQP representative-set size)
     ub_filter: bool = False  # -upNNI upper-bound prefilter
     ub_frac: float = 0.0  # -upFrac
+    fix_stable_splits: bool = False  # -fss (freeze 100%-support splits)
+    num_support_trees: int = 20  # -nsupport
     unsuccess_iteration: int = 100
     fixed_iterations: Optional[int] = None
     max_seconds: Optional[float] = None
@@ -251,7 +253,11 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
 
     while keep_searching():
         t = perturb(cand.random_candidate(rng))
-        r = engine.hill_climb(t, on_tree=on_tree)
+        frozen = (
+            cand.stable_splits(params.num_support_trees)
+            if params.fix_stable_splits else None
+        )
+        r = engine.hill_climb(t, on_tree=on_tree, frozen_splits=frozen)
         improved = r.lnl > best_lnl + 1e-6
         cand.update(r.tree, r.lnl)
         if improved:

@@ -92,9 +92,14 @@ class NNIEngine:
         tree: PhyloTree,
         max_steps: Optional[int] = None,
         on_tree: Optional[Callable[[PhyloTree, float], None]] = None,
+        frozen_splits=None,
     ) -> NNISearchResult:
         """on_tree: called with every intermediate (tree, lnl) — the UFBoot
-        saveCurrentTree hook (iqtree.cpp:2136)."""
+        saveCurrentTree hook (iqtree.cpp:2136).
+
+        frozen_splits: stable splits to exclude from NNI evaluation
+        (-fss; getAllInnerBranches minus stable splits,
+        iqtree.cpp:2155)."""
         n_taxa = tree.n_taxa
         max_steps = max_steps or n_taxa
         tree, cur = self.optimize_branches(tree, 100)
@@ -106,6 +111,16 @@ class NNIEngine:
             if on_tree is not None:
                 on_tree(tree, cur)
             edges = tree.internal_edges()
+            if frozen_splits:
+                from ..trees.splits import tree_splits
+
+                split_of = {v: s for s, v in tree_splits(tree,
+                                                         with_nodes=True)}
+                edges = np.asarray(
+                    [v for v in edges
+                     if split_of.get(int(v)) not in frozen_splits],
+                    dtype=edges.dtype,
+                )
             if len(edges) == 0:
                 break
             ta = self.arrays(tree)

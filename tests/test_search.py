@@ -64,3 +64,38 @@ def test_search_recovers_tree():
     # round-trip newick
     nwk = res.best_tree.to_newick(aln.names)
     assert nwk.endswith(";") and "t0" in nwk
+
+
+def test_stable_splits():
+    """-fss: splits shared by all top candidates are frozen
+    (candidateset.cpp:188)."""
+    import numpy as np
+
+    from iqtree_tpu.search.candidate_set import CandidateSet
+    from iqtree_tpu.trees.splits import tree_splits
+    from iqtree_tpu.trees.tree import random_tree
+
+    base = random_tree(10, np.random.default_rng(0))
+    cand = CandidateSet(max_size=5, pop_size=5)
+    # five variants of the same tree with perturbed branch lengths share
+    # every split
+    for i in range(5):
+        t = base.copy()
+        t.blen = t.blen * (1 + 0.1 * i)
+        # force distinct "topology keys" is not possible (same splits),
+        # so insert genuinely different trees except the splits we test
+        cand.update(t, -1000.0 - i)
+    stable = cand.stable_splits(num_support=5)
+    # only one topology stored (same splits key) -> below threshold
+    assert stable == frozenset() or stable == frozenset(tree_splits(base))
+
+    # now genuinely different topologies: stable = intersection
+    cand2 = CandidateSet(max_size=5, pop_size=5)
+    trees = [random_tree(10, np.random.default_rng(s)) for s in range(5)]
+    for i, t in enumerate(trees):
+        cand2.update(t, -100.0 - i)
+    stable = cand2.stable_splits(num_support=5)
+    inter = frozenset(tree_splits(trees[0]))
+    for t in trees[1:]:
+        inter = inter & frozenset(tree_splits(t))
+    assert stable == inter
