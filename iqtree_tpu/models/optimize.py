@@ -462,28 +462,52 @@ def optimize_model_and_branches(
             opt, tree, site, params, max_iters=branch_sweeps + rounds * model_iters
         )
 
-    # one compiled executable per (optimizer, data shape, loop sizes):
-    # repeated calls (and warmup vs timed runs) reuse the same jit entry
-    key = ("round", site.tip_codes.shape, branch_sweeps, model_iters, n_slots)
-    round_jit = opt._jit_cache.get(key)
-    if round_jit is None:
+    # One compiled executable per (optimizer, data shape, chunk size);
+    # long optimizations are CHUNKED into bounded device calls: a single
+    # call with ~60 L-BFGS iterations + 100 Newton sweeps at 1000 taxa
+    # runs past the remote-TPU execution deadline and kills the worker
+    # (chunks of <=15 iterations / <=25 sweeps are safe with margin).
+    M_CHUNK, B_CHUNK = 15, 25
+    key_m = ("mstep", site.tip_codes.shape, M_CHUNK, n_slots)
+    key_b = ("bstep", site.tip_codes.shape, B_CHUNK, n_slots)
+    mstep = opt._jit_cache.get(key_m)
+    bstep = opt._jit_cache.get(key_b)
+    if mstep is None:
 
-        def _round(t, p, st):
-            p, _ = fit_model_step(opt, t, site, p, model_iters,
+        def _mstep(t, p, st):
+            return fit_model_step(opt, t, site, p, M_CHUNK,
                                   steps=st, n_slots=n_slots)
+
+        mstep = jax.jit(_mstep)
+        opt._jit_cache[key_m] = mstep
+    if bstep is None:
+
+        def _bstep(t, p, st):
             ma = opt.build(p)
-            t, lnl = optimize_all_branches(
-                t, ma, site, n_sweeps=branch_sweeps, steps=st, n_slots=n_slots
+            return optimize_all_branches(
+                t, ma, site, n_sweeps=B_CHUNK, steps=st, n_slots=n_slots,
             )
-            return t, p, lnl
 
-        round_jit = jax.jit(_round)
-        opt._jit_cache[key] = round_jit
+        bstep = jax.jit(_bstep)
+        opt._jit_cache[key_b] = bstep
 
+    m_chunks = max(1, -(-model_iters // M_CHUNK))
+    b_chunks = max(1, -(-branch_sweeps // B_CHUNK))
     lnl_prev = -np.inf
     lnl = -np.inf
     for it in range(rounds):
-        tree, params, lnl = round_jit(tree, params, steps)
+        mlnl_prev = -np.inf
+        for _ in range(m_chunks):
+            params, mlnl = mstep(tree, params, steps)
+            if float(mlnl) - mlnl_prev < tol / 10:
+                break
+            mlnl_prev = float(mlnl)
+        blnl_prev = -np.inf
+        for _ in range(b_chunks):
+            tree, lnl = bstep(tree, params, steps)
+            if float(lnl) - blnl_prev < tol / 10:
+                break
+            blnl_prev = float(lnl)
         if float(lnl) - lnl_prev < tol and it > 0:
             break
         lnl_prev = float(lnl)
