@@ -25,6 +25,17 @@ import os
 import sys
 import time
 
+# The store-variant fused kernel's scoped-VMEM footprint at 1000 taxa
+# (~24MB: double-buffered tips block + message staging) exceeds the
+# compiler's default 16MB scoped limit when embedded in the L-BFGS loop,
+# although physical VMEM (128MB on v5e) has plenty of room.  Must be set
+# before jax/libtpu initializes.
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=65536"
+if _VMEM_FLAG.split("=")[0] not in os.environ.get("LIBTPU_INIT_ARGS", ""):
+    os.environ["LIBTPU_INIT_ARGS"] = (
+        os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _VMEM_FLAG
+    ).strip()
+
 import numpy as np
 
 REF_SECONDS = None  # filled in after the reference measurement completes

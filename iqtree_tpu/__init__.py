@@ -16,4 +16,17 @@ Layer map (mirrors SURVEY.md):
   utils/     checkpoint, optimizers, special functions, logging
 """
 
+import os as _os
+
+# Raise the Mosaic scoped-VMEM limit: the fused pruning kernel's working
+# set at ~1000 taxa (double-buffered tips block + DMA staging, ~24MB)
+# exceeds the conservative 16MB default although physical VMEM (v5e:
+# 128MB) has ample room.  Harmless on CPU; must be set before libtpu
+# loads, hence at package import.
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=65536"
+if _VMEM_FLAG.split("=")[0] not in _os.environ.get("LIBTPU_INIT_ARGS", ""):
+    _os.environ["LIBTPU_INIT_ARGS"] = (
+        _os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _VMEM_FLAG
+    ).strip()
+
 __version__ = "0.1.0"

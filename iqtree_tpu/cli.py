@@ -42,6 +42,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     log(f"IQ-TREE-TPU {__version__} starting: {command}")
     log(f"Devices: {jax.devices()}")
 
+    # -nt: parallelism degree = number of TPU devices (the reference's
+    # OpenMP thread count maps to the `sites` mesh axis, SURVEY.md §2c).
+    # 0 = all visible devices; a 1-device mesh stays on the fast
+    # unsharded path.
+    n_dev = cfg.n_threads if cfg.n_threads > 0 else len(jax.devices())
+    if n_dev > 1:
+        from . import parallel
+
+        mesh = parallel.make_mesh(min(n_dev, len(jax.devices())))
+        parallel.set_mesh(mesh)
+        log(f"Pattern-axis sharding over {mesh.size} devices")
+
     # ---- utility modes (no alignment; pda.cpp:2436-2480 dispatch) -----
     if (cfg.consensus_file or cfg.network_file or cfg.sup_target or cfg.rf_file
             or cfg.random_tree_n or cfg.pd_k or cfg.pd_max_k
@@ -650,6 +662,8 @@ def _run_search(cfg, aln, model_str, dtype, log, ckp=None):
         unsuccess_iteration=cfg.unsuccess_iteration,
         fixed_iterations=cfg.n_iterations,
         max_seconds=cfg.max_seconds,
+        weibull_max_iterations=cfg.weibull_max_iterations,
+        stop_confidence=cfg.stop_confidence,
         dtype=dtype,
         start_tree=open(cfg.user_tree).read() if cfg.user_tree else None,
         log=log,

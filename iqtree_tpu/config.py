@@ -26,6 +26,8 @@ class RunConfig:
     seed: int = 1  # -seed
     n_iterations: Optional[int] = None  # -n (fixed)
     unsuccess_iteration: int = 100  # -nstop
+    weibull_max_iterations: Optional[int] = None  # -sr (SC_WEIBULL)
+    stop_confidence: float = 0.95  # -sc
     max_seconds: Optional[float] = None  # -maxtime (minutes in ref)
     n_threads: int = 0  # -nt (0 = all devices)
     write_site_lnl: bool = False  # -wsl
@@ -112,6 +114,11 @@ def parse_args(argv) -> RunConfig:
     p.add_argument("-n", dest="n_iterations", type=int, default=None,
                    help="fixed number of search iterations")
     p.add_argument("-nstop", dest="unsuccess", type=int, default=100)
+    p.add_argument("-sr", dest="weibull_max", type=int, default=None,
+                   help="Weibull stopping rule with max iterations "
+                        "(reference SC_WEIBULL, tools.cpp:2001)")
+    p.add_argument("-sc", dest="stop_confidence", type=float, default=0.95,
+                   help="confidence for the Weibull stopping rule")
     p.add_argument("-maxtime", dest="maxtime", type=float, default=None,
                    help="max wall time in minutes")
     p.add_argument("-nt", dest="n_threads", type=int, default=0)
@@ -239,6 +246,8 @@ def parse_args(argv) -> RunConfig:
         seed=a.seed,
         n_iterations=a.n_iterations,
         unsuccess_iteration=a.unsuccess,
+        weibull_max_iterations=a.weibull_max,
+        stop_confidence=a.stop_confidence,
         max_seconds=a.maxtime * 60 if a.maxtime else None,
         n_threads=a.n_threads,
         write_site_lnl=a.wsl,
@@ -297,5 +306,8 @@ def parse_args(argv) -> RunConfig:
         branch_stats=a.stats,
         scale_blen=a.scale,
         eco_dag_file=a.eco,
-        eco_diet=a.diet / 100.0 if a.diet > 1 else a.diet,
+        # -diet is strictly a percentage in (0, 100] (reference
+        # tools.cpp:2356 "-diet <d in %>"); always divide — guessing
+        # units misread e.g. "-diet 1" (1%) as 100%
+        eco_diet=a.diet / 100.0,
     )

@@ -145,6 +145,17 @@ class ThetaBuffers(NamedTuple):
     ptn_invar: jnp.ndarray  # [P]
 
 
+class GenericBuffers(NamedTuple):
+    """Raw inside/outside partials for qmat (non-reversible) models,
+    where no eigen-basis theta exists; branch derivatives rebuild P(t)
+    by expm and use dP/dt = r_c Q P."""
+
+    up: jnp.ndarray  # [2N+W, C, S, P]
+    out: jnp.ndarray  # [2N+W, C, S, P]
+    scale: jnp.ndarray  # [2N+W, P] combined log-scale
+    ptn_invar: jnp.ndarray  # [P]
+
+
 def compute_thetas(
     tree: TreeArrays,
     model: ModelArrays,
@@ -155,15 +166,20 @@ def compute_thetas(
     out_scale: jnp.ndarray,
 ) -> ThetaBuffers:
     """theta[v,c,j,p] = (V^T O[v])_j * (V^-1 U[v])_j for every branch v
-    (batched analogue of computeThetaEigen, phylokernel.h:485-540)."""
-    vt_o = jnp.einsum("csj,vcsp->vcjp", model.eigvec, out, precision=HIGHEST)
-    vi_u = jnp.einsum("cjs,vcsp->vcjp", model.inv_eigvec, up, precision=HIGHEST)
-    theta = vt_o * vi_u
+    (batched analogue of computeThetaEigen, phylokernel.h:485-540).
+
+    qmat models (UNREST) have no eigen basis; the raw partials are kept
+    instead (GenericBuffers) and branch_lnl_derivs dispatches on type."""
     scale = up_scale + out_scale
     S = model.num_states
     mean_freq = model.mean_freq
     pi_ext = jnp.concatenate([mean_freq, jnp.ones((1,), mean_freq.dtype)])
     w = jnp.where(site.const_state >= 0, pi_ext[jnp.clip(site.const_state, 0, S)], 0.0)
+    if model.qmat is not None:
+        return GenericBuffers(up, out, scale, model.p_invar * w)
+    vt_o = jnp.einsum("csj,vcsp->vcjp", model.eigvec, out, precision=HIGHEST)
+    vi_u = jnp.einsum("cjs,vcsp->vcjp", model.inv_eigvec, up, precision=HIGHEST)
+    theta = vt_o * vi_u
     return ThetaBuffers(theta, scale, model.p_invar * w)
 
 
@@ -176,19 +192,40 @@ def branch_lnl_derivs(
     """For every branch simultaneously: (lnL[v], dlnL/dt[v], d2lnL/dt2[v]).
 
     Mirrors computeLikelihoodDervEigenSIMD + computeLikelihoodFromBuffer
-    (phylokernel.h:485,1022) but batched over branches."""
-    lam_r = model.eigenvalues * model.rates[:, None]  # [C, S(j)]
-    # pad blen to the (padded) theta buffer length; outputs sliced back
+    (phylokernel.h:485,1022) but batched over branches.  GenericBuffers
+    (qmat models) rebuild P(t) by expm per call: f_k contracts the raw
+    outside/inside partials with (r_c Q)^k P."""
     nv = blen.shape[0]
-    blen_p = jnp.concatenate(
-        [blen, jnp.zeros((theta.theta.shape[0] - nv,), blen.dtype)]
-    )
-    # E[v,c,j] = w_c exp(lam_j r_c t_v)
-    e = model.props[None, :, None] * jnp.exp(lam_r[None] * blen_p[:, None, None])
-    f0 = jnp.einsum("vcj,vcjp->vp", e, theta.theta, precision=HIGHEST)
-    f1 = jnp.einsum("vcj,cj,vcjp->vp", e, lam_r, theta.theta, precision=HIGHEST)
-    f2 = jnp.einsum("vcj,cj,vcjp->vp", e, lam_r * lam_r, theta.theta,
-                    precision=HIGHEST)
+    if isinstance(theta, GenericBuffers):
+        nbuf = theta.up.shape[0]
+        blen_p = jnp.concatenate(
+            [blen, jnp.zeros((nbuf - nv,), blen.dtype)]
+        )
+        trans = branch_transition_mats(model, blen_p)  # [V,C,S,S] expm
+        rq = model.qmat * model.rates[:, None, None]  # [C,S,S]
+        qp = jnp.einsum("cij,vcjk->vcik", rq, trans, precision=HIGHEST)
+        qqp = jnp.einsum("cij,vcjk->vcik", rq, qp, precision=HIGHEST)
+
+        def fk(m):
+            msg = jnp.einsum("vcst,vctp->vcsp", m, theta.up, precision=HIGHEST)
+            return jnp.einsum(
+                "c,vcsp,vcsp->vp", model.props, theta.out, msg,
+                precision=HIGHEST,
+            )
+
+        f0, f1, f2 = fk(trans), fk(qp), fk(qqp)
+    else:
+        lam_r = model.eigenvalues * model.rates[:, None]  # [C, S(j)]
+        # pad blen to the (padded) theta buffer length; outputs sliced back
+        blen_p = jnp.concatenate(
+            [blen, jnp.zeros((theta.theta.shape[0] - nv,), blen.dtype)]
+        )
+        # E[v,c,j] = w_c exp(lam_j r_c t_v)
+        e = model.props[None, :, None] * jnp.exp(lam_r[None] * blen_p[:, None, None])
+        f0 = jnp.einsum("vcj,vcjp->vp", e, theta.theta, precision=HIGHEST)
+        f1 = jnp.einsum("vcj,cj,vcjp->vp", e, lam_r, theta.theta, precision=HIGHEST)
+        f2 = jnp.einsum("vcj,cj,vcjp->vp", e, lam_r * lam_r, theta.theta,
+                        precision=HIGHEST)
     f0 = jnp.maximum(f0, SCALE_TINY)
     # denominator in true space: f0 + ptn_invar * exp(-scale); keep in the
     # scaled frame: denom = f0 + invar_term

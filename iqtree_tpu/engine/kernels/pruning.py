@@ -94,18 +94,30 @@ def _kernel(steps_ref, tips_ref, trans_ref, rootw_ref, invar_ref,
 
 
 def pick_tile(n_taxa: int, n_nodes: int, C: int, S: int, n_slots: int,
-              dtype, budget: int = 5 * 2**20) -> int:
-    """Largest pattern tile whose VMEM working set fits the budget.
+              dtype, budget: int = 48 * 2**20) -> int:
+    """Largest pattern tile whose scoped-VMEM footprint fits the budget.
 
-    The budget is per BUFFER SET: Pallas double-buffers the grid inputs
-    (the tips block dominates), and the store-variant kernel adds
-    message staging, so the effective footprint is ~2-3x this number
-    against the ~16MB/core VMEM."""
+    Footprint model (validated against the Mosaic compiler's scoped
+    accounting at 1000 taxa DNA+G4, which reported 23.66MB at tile 256):
+      * grid inputs are DOUBLE-BUFFERED; the tips block
+        [n_taxa, S, tile] dominates, with S padded to the f32 sublane
+        multiple of 8;
+      * the store variant adds slot/scale/message staging scratch;
+      * ~4MB covers the kernel body's stack temporaries + semaphores.
+    The budget tracks the raised --xla_tpu_scoped_vmem_limit_kib=65536
+    set at package import (physical VMEM on v5e is 128MB); 48MB leaves
+    a 16MB margin under the 64MB limit."""
     itemsize = jnp.dtype(dtype).itemsize
+    S_pad = -(-S // 8) * 8
     trans_bytes = n_nodes * C * S * S * itemsize
-    for tile in (512, 256, 128):
-        per_tile = (n_taxa * S + n_slots * C * S + n_slots + 2) * itemsize
-        if trans_bytes + per_tile * tile <= budget:
+    fudge = 4 * 2**20
+    for tile in (1024, 512, 256, 128):
+        tips2 = 2 * n_taxa * S_pad * tile * itemsize
+        slots = n_slots * C * S_pad * tile * itemsize
+        sstage = n_slots * 8 * tile * itemsize
+        mstage = 4 * C * S_pad * tile * itemsize
+        total = 2 * trans_bytes + tips2 + slots + sstage + mstage + fudge
+        if total <= budget:
             return tile
     return 128
 
@@ -123,10 +135,43 @@ def fused_site_lnl(
 ) -> jnp.ndarray:
     """Per-pattern log-likelihood [P] via the fused kernel.
 
+    With an active device mesh (parallel.get_mesh()) the kernel runs
+    per-shard under shard_map over the pattern axis — the SPMD analogue
+    of the reference's OpenMP pattern loop (phylokernel.h:252); pattern
+    padding then happens per shard and never escapes this function.
+
     tile=None picks the largest pattern tile whose VMEM working set
-    (tips block + all transition matrices + slots) fits a ~12MB budget
-    (VMEM is ~16MB/core): tile 512 measures ~40% faster than 256 at
-    1000 taxa (fewer sequential grid iterations)."""
+    (tips block + all transition matrices + slots) fits the budget:
+    tile 512 measures ~40% faster than 256 at 1000 taxa (fewer
+    sequential grid iterations)."""
+    from ...parallel import PATTERN_AXIS, get_mesh
+
+    mesh = get_mesh()
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as PS
+
+        f = jax.shard_map(
+            functools.partial(
+                _fused_site_lnl_local, n_slots=n_slots, tile=tile,
+                interpret=interpret,
+            ),
+            mesh=mesh,
+            in_specs=(PS(), PS(), PS(None, None, PATTERN_AXIS), PS(),
+                      PS(), PS(PATTERN_AXIS)),
+            out_specs=PS(PATTERN_AXIS),
+            check_vma=False,
+        )
+        return f(steps, trans, tipsP, props, state_freq, ptn_invar)
+    return _fused_site_lnl_local(
+        steps, trans, tipsP, props, state_freq, ptn_invar,
+        n_slots=n_slots, tile=tile, interpret=interpret,
+    )
+
+
+def _fused_site_lnl_local(
+    steps, trans, tipsP, props, state_freq, ptn_invar, *,
+    n_slots: int, tile: int = None, interpret: bool = None,
+) -> jnp.ndarray:
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     if tile is None:
@@ -327,6 +372,59 @@ def fused_upward_store(
     n_slots: int,
     trans: jnp.ndarray,  # [2N, C, S, S]
     tipsP: jnp.ndarray,  # [N, S, P]
+    tile: int = None,
+    interpret: bool = None,
+    want_mailbox: bool = False,
+    mb_rows: int = None,
+):
+    """Upward pass that stores every internal partial to HBM; under an
+    active mesh it runs per-shard (shard_map over the pattern axis) and
+    the outputs come back SLICED to the true pattern count (per-shard
+    tile padding must not interleave into the global array).  See
+    _fused_upward_store_local for the single-device contract."""
+    from ...parallel import PATTERN_AXIS, get_mesh
+
+    mesh = get_mesh()
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as PS
+
+        def local(steps_, trans_, tips_):
+            outs = _fused_upward_store_local(
+                steps_, trans_, tips_, n_slots=n_slots, tile=tile,
+                interpret=interpret, want_mailbox=want_mailbox,
+                mb_rows=mb_rows,
+            )
+            P = tips_.shape[2]
+            return tuple(o[..., :P] for o in outs)
+
+        out_specs = (
+            PS(None, None, None, PATTERN_AXIS),
+            PS(None, PATTERN_AXIS),
+        )
+        if want_mailbox:
+            out_specs = out_specs + (
+                PS(None, None, None, None, PATTERN_AXIS),
+            )
+        f = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(PS(), PS(), PS(None, None, PATTERN_AXIS)),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return f(steps, trans, tipsP)
+    return _fused_upward_store_local(
+        steps, trans, tipsP, n_slots=n_slots, tile=tile,
+        interpret=interpret, want_mailbox=want_mailbox, mb_rows=mb_rows,
+    )
+
+
+def _fused_upward_store_local(
+    steps: jnp.ndarray,
+    trans: jnp.ndarray,  # [2N, C, S, S]
+    tipsP: jnp.ndarray,  # [N, S, P]
+    *,
+    n_slots: int,
     tile: int = None,
     interpret: bool = None,
     want_mailbox: bool = False,

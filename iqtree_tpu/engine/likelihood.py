@@ -289,13 +289,25 @@ class SiteData(NamedTuple):
                 [const_state, np.arange(S, dtype=const_state.dtype)]
             )
             asc_mask = np.concatenate([asc_mask, np.ones(S)])
-        return cls(
+        out = cls(
             tip_codes=jnp.asarray(tip_codes),
             code_masks=jnp.asarray(aln.states.code_masks, dtype=dtype),
             pattern_freq=jnp.asarray(pattern_freq, dtype=dtype),
             const_state=jnp.asarray(const_state),
             asc_mask=jnp.asarray(asc_mask, dtype=dtype),
         )
+        # active device mesh => shard the pattern axis here, the single
+        # choke point every pipeline (search/UFBoot/partition/CLI) builds
+        # its SiteData through; padding patterns are inert, and host-side
+        # consumers slice engine outputs to the true pattern count
+        from ..parallel import get_mesh
+
+        mesh = get_mesh()
+        if mesh is not None and mesh.size > 1:
+            from ..parallel import shard_site_data
+
+            out = shard_site_data(out, mesh)
+        return out
 
 
 def branch_transition_mats(model: ModelArrays, blen: jnp.ndarray) -> jnp.ndarray:

@@ -46,7 +46,17 @@ class NNIEval(NamedTuple):
 
 
 def _pmat(model: ModelArrays, t) -> jnp.ndarray:
-    """P(t * r_c): [C, S, S] for a scalar branch length."""
+    """P(t * r_c): [C, S, S] for a scalar branch length.
+
+    Non-reversible models (UNREST) carry Q itself and identity eigen
+    arrays, so the spectral form would silently give P = I; dispatch to
+    the solve-free expm instead (ModelNonRev::computeTransMatrix,
+    /root/reference/model/modelnonrev.cpp:246)."""
+    if model.qmat is not None:
+        from ..models.nonrev import expm_taylor
+
+        qt = model.qmat * (t * model.rates)[:, None, None]
+        return expm_taylor(qt)
     expo = jnp.exp(model.eigenvalues * (t * model.rates)[:, None])
     return jnp.einsum(
         "cij,cj,cjk->cik", model.eigvec, expo, model.inv_eigvec, precision=HIGHEST
@@ -78,21 +88,44 @@ def _theta_lnl_newton(
     ptn_invar,  # [P]
     newton_iters: int = 4,
 ):
-    """1-D branch optimization on a theta buffer; returns (t*, lnl(t*))."""
-    vt_o = jnp.einsum("csj,csp->cjp", model.eigvec, outside, precision=HIGHEST)
-    vi_u = jnp.einsum("cjs,csp->cjp", model.inv_eigvec, inside, precision=HIGHEST)
-    theta = vt_o * vi_u  # [C, S(j), P]
+    """1-D branch optimization on a theta buffer; returns (t*, lnl(t*)).
+
+    Reversible models use the spectral theta trick (dot products with
+    exp(lambda r t) weights); qmat models (UNREST) have no eigen form,
+    so P(t) is rebuilt by expm each iteration and the derivatives use
+    dP/dt = r_c Q P (cheap: S=4, a few 4x4 matmuls per iteration)."""
     scale = in_scale + out_scale  # [P]
-    lam_r = model.eigenvalues * model.rates[:, None]  # [C, j]
     invar = ptn_invar * jnp.exp(jnp.clip(-scale, max=80.0)) * (ptn_invar > 0)
 
-    def derivs(t):
-        e = model.props[:, None] * jnp.exp(lam_r * t)  # [C, j]
-        f0 = jnp.einsum("cj,cjp->p", e, theta, precision=HIGHEST)
-        f1 = jnp.einsum("cj,cj,cjp->p", e, lam_r, theta, precision=HIGHEST)
-        f2 = jnp.einsum("cj,cj,cjp->p", e, lam_r * lam_r, theta, precision=HIGHEST)
-        denom = jnp.maximum(f0, SCALE_TINY) + invar
-        return denom, f1, f2
+    if model.qmat is not None:
+        rq = model.qmat * model.rates[:, None, None]  # [C,S,S]
+
+        def derivs(t):
+            p = _pmat(model, t)  # [C,S,S]
+            qp = jnp.einsum("cij,cjk->cik", rq, p, precision=HIGHEST)
+            qqp = jnp.einsum("cij,cjk->cik", rq, qp, precision=HIGHEST)
+
+            def fk(m):
+                return jnp.einsum(
+                    "c,csp,cst,ctp->p", model.props, outside, m, inside,
+                    precision=HIGHEST,
+                )
+
+            denom = jnp.maximum(fk(p), SCALE_TINY) + invar
+            return denom, fk(qp), fk(qqp)
+    else:
+        vt_o = jnp.einsum("csj,csp->cjp", model.eigvec, outside, precision=HIGHEST)
+        vi_u = jnp.einsum("cjs,csp->cjp", model.inv_eigvec, inside, precision=HIGHEST)
+        theta = vt_o * vi_u  # [C, S(j), P]
+        lam_r = model.eigenvalues * model.rates[:, None]  # [C, j]
+
+        def derivs(t):
+            e = model.props[:, None] * jnp.exp(lam_r * t)  # [C, j]
+            f0 = jnp.einsum("cj,cjp->p", e, theta, precision=HIGHEST)
+            f1 = jnp.einsum("cj,cj,cjp->p", e, lam_r, theta, precision=HIGHEST)
+            f2 = jnp.einsum("cj,cj,cjp->p", e, lam_r * lam_r, theta, precision=HIGHEST)
+            denom = jnp.maximum(f0, SCALE_TINY) + invar
+            return denom, f1, f2
 
     n_sites = jnp.sum(site.pattern_freq)
 

@@ -475,14 +475,15 @@ def read_raw(path: str, fmt: Optional[str] = None):
     if not text.strip():
         raise ValueError(f"alignment file {path} is empty")
     if fmt is None:
-        head = text.lstrip()[:10].upper()
+        first_line = text.lstrip().splitlines()[0].upper()
+        head = first_line[:10]
         if head.startswith(">"):
             fmt = "fasta"
         elif head.startswith("#NEXUS"):
             fmt = "nexus"
         elif head.startswith("CLUSTAL"):
             fmt = "clustal"
-        elif "MULTIPLE_ALIGNMENT" in head:
+        elif "MULTIPLE_ALIGNMENT" in first_line:
             fmt = "msf"
         else:
             fmt = "phylip"

@@ -356,6 +356,8 @@ def fit_model_step(
     max_iters: int = 60,
     steps=None,
     n_slots: int = 0,
+    lbfgs_state=None,
+    return_state: bool = False,
 ):
     """One L-BFGS solve of all model parameters (branch lengths fixed).
     Jit-friendly; analogue of the model/rate halves of
@@ -364,7 +366,11 @@ def fit_model_step(
     With a slot schedule (steps, n_slots) the likelihood runs through the
     fused Pallas kernel — both the L-BFGS value evaluations and the
     forward of value_and_grad — keeping the optimizer loop's live HBM
-    footprint to the backward sweep alone."""
+    footprint to the backward sweep alone.
+
+    lbfgs_state carries the curvature history across chunked calls
+    (utils/lbfgs.py) so a 15-iteration chunk resumed 4 times converges
+    like one 60-iteration solve."""
     if steps is not None:
         from ..engine.grad import loglik_fused_fn
 
@@ -379,7 +385,8 @@ def fit_model_step(
             return l
 
     if not params:
-        return params, _lnl(opt.build(params))
+        out = params, _lnl(opt.build(params))
+        return out + (lbfgs_state,) if return_state else out
 
     # scale the objective to O(1) per site: raw |lnL| grows with the
     # alignment (1000 taxa x 10k sites => ~2.6e6) and the resulting
@@ -390,7 +397,11 @@ def fit_model_step(
     def negloglik(p):
         return -_lnl(opt.build(p)) / scale
 
-    p, val, _ = lbfgs_minimize(negloglik, params, max_iters=max_iters)
+    p, val, st = lbfgs_minimize(
+        negloglik, params, max_iters=max_iters, init_state=lbfgs_state
+    )
+    if return_state:
+        return p, -val * scale, st
     return p, -val * scale
 
 
@@ -404,14 +415,22 @@ def _optimize_nonrev_joint(
     """Joint (UNREST rates, rate-model params, log branch lengths) L-BFGS.
 
     Gradients flow through expm inside branch_transition_mats (the
-    custom-VJP loglik chains d lnL/dP -> dP/d(blen, Q) by autodiff)."""
-    pinned = jnp.asarray(np.asarray(tree.blen) <= 0.0)
+    custom-VJP loglik chains d lnL/dP -> dP/d(blen, Q) by autodiff).
 
-    key = ("nonrev", site.tip_codes.shape, max_iters)
+    `pinned` (the zero-length virtual-root half-edge, whose index is
+    topology-dependent) is a TRACED argument, so one compiled executable
+    serves every same-shaped tree — a closure capture here silently
+    zeroed the wrong branch when bootstrap replicates or new start trees
+    reused the cache.  The solve is CHUNKED into bounded device calls
+    (L-BFGS state carried across chunks) so large alignments stay under
+    the remote-executor deadline, mirroring the reversible path."""
+    chunk = 15
+
+    key = ("nonrev", site.tip_codes.shape, chunk)
     fit = opt._jit_cache.get(key)
     if fit is None:
 
-        def _fit(t, p):
+        def _fit(t, p, pinned, lbfgs_state):
             state = {
                 "model": p,
                 "log_blen": jnp.log(jnp.maximum(t.blen, 1e-6)),
@@ -423,14 +442,27 @@ def _optimize_nonrev_joint(
                 l, _ = loglik(t.with_blen(bl), opt.build(st["model"]), site)
                 return -l / scale
 
-            st, val, _ = lbfgs_minimize(neg, state, max_iters=max_iters)
+            st, val, lbfgs_state = lbfgs_minimize(
+                neg, state, max_iters=chunk, init_state=lbfgs_state
+            )
             bl = jnp.where(pinned, 0.0, jnp.exp(st["log_blen"]))
-            return t.with_blen(bl), st["model"], -val * scale
+            return t.with_blen(bl), st["model"], -val * scale, lbfgs_state
 
         fit = jax.jit(_fit)
         opt._jit_cache[key] = fit
 
-    tree, params, lnl = fit(tree, params)
+    from ..utils.lbfgs import zero_lbfgs_state
+
+    pinned = jnp.asarray(np.asarray(tree.blen) <= 0.0)
+    lnl_prev = -np.inf
+    lbfgs_state = zero_lbfgs_state(
+        {"model": params, "log_blen": tree.blen}
+    )
+    for _ in range(max(1, -(-max_iters // chunk))):
+        tree, params, lnl, lbfgs_state = fit(tree, params, pinned, lbfgs_state)
+        if float(lnl) - lnl_prev < 1e-3:
+            break
+        lnl_prev = float(lnl)
     return tree, params, float(lnl)
 
 
@@ -462,21 +494,28 @@ def optimize_model_and_branches(
             opt, tree, site, params, max_iters=branch_sweeps + rounds * model_iters
         )
 
-    # One compiled executable per (optimizer, data shape, chunk size);
-    # long optimizations are CHUNKED into bounded device calls: a single
+    # One compiled executable per (optimizer, data shape, chunk size).
+    # Long optimizations are CHUNKED into bounded device calls: a single
     # call with ~60 L-BFGS iterations + 100 Newton sweeps at 1000 taxa
-    # runs past the remote-TPU execution deadline and kills the worker
-    # (chunks of <=15 iterations / <=25 sweeps are safe with margin).
-    M_CHUNK, B_CHUNK = 15, 25
+    # runs past the remote-TPU execution deadline (~minutes) and kills
+    # the worker.  Chunk sizes are config knobs (measured ~2-3s per
+    # chunk at 1000 taxa x 10k patterns, leaving a wide deadline
+    # margin); set IQTREE_TPU_MCHUNK / IQTREE_TPU_BCHUNK to retune for
+    # much larger workloads.
+    import os
+
+    M_CHUNK = int(os.environ.get("IQTREE_TPU_MCHUNK", 15))
+    B_CHUNK = int(os.environ.get("IQTREE_TPU_BCHUNK", 25))
     key_m = ("mstep", site.tip_codes.shape, M_CHUNK, n_slots)
     key_b = ("bstep", site.tip_codes.shape, B_CHUNK, n_slots)
     mstep = opt._jit_cache.get(key_m)
     bstep = opt._jit_cache.get(key_b)
     if mstep is None:
 
-        def _mstep(t, p, st):
-            return fit_model_step(opt, t, site, p, M_CHUNK,
-                                  steps=st, n_slots=n_slots)
+        def _mstep(t, p, st, lst):
+            return fit_model_step(opt, t, site, p, M_CHUNK, steps=st,
+                                  n_slots=n_slots, lbfgs_state=lst,
+                                  return_state=True)
 
         mstep = jax.jit(_mstep)
         opt._jit_cache[key_m] = mstep
@@ -491,23 +530,27 @@ def optimize_model_and_branches(
         bstep = jax.jit(_bstep)
         opt._jit_cache[key_b] = bstep
 
-    m_chunks = max(1, -(-model_iters // M_CHUNK))
-    b_chunks = max(1, -(-branch_sweeps // B_CHUNK))
+    # Fine-grained alternation — ONE model chunk, then ONE branch chunk —
+    # mirroring the reference's per-round model/rate/branch interleave
+    # (modelfactory.cpp:937).  Coarse alternation (model L-BFGS run to
+    # convergence before branches ever move) dives into a degenerate
+    # basin when the start tree's branch lengths are far from optimal
+    # (alpha -> rail, tree length exploding); interleaving lets branch
+    # lengths adapt between model updates.  The L-BFGS curvature history
+    # is carried across model chunks (warm restart).
+    total_chunks = rounds * max(
+        1, -(-model_iters // M_CHUNK), -(-branch_sweeps // B_CHUNK)
+    )
     lnl_prev = -np.inf
     lnl = -np.inf
-    for it in range(rounds):
-        mlnl_prev = -np.inf
-        for _ in range(m_chunks):
-            params, mlnl = mstep(tree, params, steps)
-            if float(mlnl) - mlnl_prev < tol / 10:
-                break
-            mlnl_prev = float(mlnl)
-        blnl_prev = -np.inf
-        for _ in range(b_chunks):
-            tree, lnl = bstep(tree, params, steps)
-            if float(lnl) - blnl_prev < tol / 10:
-                break
-            blnl_prev = float(lnl)
+    # zero curvature history == fresh start, but keeps the jit signature
+    # stable across chunks (None would force a second compile)
+    from ..utils.lbfgs import zero_lbfgs_state
+
+    lst = zero_lbfgs_state(params)
+    for it in range(total_chunks):
+        params, mlnl, lst = mstep(tree, params, steps, lst)
+        tree, lnl = bstep(tree, params, steps)
         if float(lnl) - lnl_prev < tol and it > 0:
             break
         lnl_prev = float(lnl)

@@ -57,6 +57,9 @@ class SearchParams:
     unsuccess_iteration: int = 100
     fixed_iterations: Optional[int] = None
     max_seconds: Optional[float] = None
+    # -sr: Weibull predicted-iteration stopping (SC_WEIBULL)
+    weibull_max_iterations: Optional[int] = None
+    stop_confidence: float = 0.95
     dtype: object = jnp.float64
     nni5: bool = True
     start_tree: Optional[str] = None  # newick string (-t/-te)
@@ -205,6 +208,9 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         fixed_iterations=params.fixed_iterations,
         max_seconds=params.max_seconds,
         min_iterations=params.step_iterations if ufboot else 0,
+        weibull=params.weibull_max_iterations is not None,
+        max_iterations=params.weibull_max_iterations or 1000000,
+        confidence=params.stop_confidence,
     )
     boot_converged = ufboot is None
 

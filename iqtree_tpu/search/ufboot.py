@@ -54,7 +54,11 @@ class UFBoot:
     def save_tree(self, tree: PhyloTree, pattern_lnl: np.ndarray) -> None:
         """RELL-rescore one visited tree against all samples
         (saveCurrentTree)."""
-        rell = np.asarray(self._rell(jnp.asarray(pattern_lnl,
+        # engine outputs may carry inert padding patterns (mesh sharding
+        # pads the pattern axis); the bootstrap matrix covers the true
+        # alignment patterns only
+        P = self.boot_freqs.shape[1]
+        rell = np.asarray(self._rell(jnp.asarray(pattern_lnl[:P],
                                                  self.boot_freqs.dtype)))
         better = rell > self.boot_logl + 1e-9
         if not better.any():

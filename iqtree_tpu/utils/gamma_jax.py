@@ -18,12 +18,8 @@ from jax.scipy.special import gammainc, gammaln, ndtri
 _NEWTON_ITERS = 25
 
 
-def gammaincinv_jax(a: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """Solve gammainc(a, x) = q for x (elementwise), a > 0, 0 < q < 1.
-
-    Newton runs in log-x space so that the tiny-shape regime works: for
-    a ~ 0.02 the lower quantiles sit at x ~ 1e-30, far below what x-space
-    iteration (or Wilson-Hilferty alone) can reach."""
+def _log_gammaincinv_newton(a: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """log of the solution of gammainc(a, x) = q (elementwise Newton)."""
     log_gamma_a = gammaln(a)
     # Wilson-Hilferty chi2 quantile approximation
     z = ndtri(q)
@@ -43,8 +39,45 @@ def gammaincinv_jax(a: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
         step = f / jnp.maximum(slope, 1e-300)
         return u - jnp.clip(step, -30.0, 30.0)
 
-    u = jax.lax.fori_loop(0, _NEWTON_ITERS, body, u0)
-    return jnp.exp(u)
+    return jax.lax.fori_loop(0, _NEWTON_ITERS, body, u0)
+
+
+@jax.custom_jvp
+def gammaincinv_jax(a: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Solve gammainc(a, x) = q for x (elementwise), a > 0, 0 < q < 1.
+
+    Newton runs in log-x space so that the tiny-shape regime works: for
+    a ~ 0.02 the lower quantiles sit at x ~ 1e-30, far below what x-space
+    iteration (or Wilson-Hilferty alone) can reach.
+
+    Differentiation is IMPLICIT (custom JVP below), not through the
+    unrolled Newton: AD through the iteration's f32 clips/guards produces
+    NaN tangents on TPU for a < ~0.1, which froze the model optimizer
+    whenever a Gamma-shape excursion visited that region."""
+    return jnp.exp(_log_gammaincinv_newton(a, q))
+
+
+@gammaincinv_jax.defjvp
+def _gammaincinv_jvp(primals, tangents):
+    # x(a, q):  dx = (dq - dI/da * da) / pdf(a, x)
+    # computed in log space:  x * pdf(a, x) = exp(a*u - x - lnGamma(a)),
+    # u = log x  (finite in f32 even where x itself underflows)
+    a, q = primals
+    da, dq = tangents
+    u = _log_gammaincinv_newton(a, q)
+    x = jnp.exp(u)
+    a_b = jnp.broadcast_to(a, x.shape)
+    log_slope = a_b * u - x - gammaln(a_b)  # log(x * pdf)
+    inv_slope_x = jnp.exp(-jnp.clip(log_slope, -80.0, 80.0))  # 1/(x*pdf)
+    if type(da) is jax.custom_derivatives.SymbolicZero:
+        dI_da = 0.0
+    else:
+        _, dI_da = jax.jvp(
+            lambda aa: gammainc(aa, x), (a_b,), (jnp.broadcast_to(da, x.shape),)
+        )
+    dq_b = 0.0 if type(dq) is jax.custom_derivatives.SymbolicZero else dq
+    du = (dq_b - dI_da) * inv_slope_x
+    return x, x * du
 
 
 def discrete_gamma_rates_jax(

@@ -41,6 +41,22 @@ def _ravel(pytree):
     return vec, unravel
 
 
+def zero_lbfgs_state(x0, memory_size: int = 10):
+    """Empty curvature history for `init_state` — identical behavior to
+    a fresh start, but with a stable pytree structure so chunked jitted
+    callers compile once."""
+    vec, _ = _ravel(x0)
+    n = vec.shape[0]
+    dtype = vec.dtype if n else jnp.float32
+    m = memory_size
+    return (
+        jnp.zeros((m, n), dtype),
+        jnp.zeros((m, n), dtype),
+        jnp.zeros((m,), dtype),
+        jnp.asarray(0),
+    )
+
+
 def lbfgs_minimize(
     fun: Callable,
     x0,
@@ -48,15 +64,19 @@ def lbfgs_minimize(
     grad_tol: float = 1e-6,
     memory_size: int = 10,
     max_backtracks: int = 25,
+    init_state=None,
 ):
-    """Minimize `fun(pytree) -> scalar`.  Returns (x, value, n_iters).
+    """Minimize `fun(pytree) -> scalar`.  Returns (x, value, state); the
+    state tuple (S, Y, rho, k) can be fed back via `init_state` to
+    continue a chunked optimization with its curvature history intact
+    (k doubles as the cumulative iteration count).
 
     Designed to be called inside jit; the whole optimization is one
     lax.while_loop."""
     x0_vec, unravel = _ravel(x0)
     n = x0_vec.shape[0]
     if n == 0:
-        return x0, fun(x0), jnp.asarray(0)
+        return x0, fun(x0), init_state
     dtype = x0_vec.dtype
     m = memory_size
 
@@ -66,10 +86,14 @@ def lbfgs_minimize(
 
     f0, g0 = vg(x0_vec)
 
-    # history ring buffers
-    S = jnp.zeros((m, n), dtype)
-    Y = jnp.zeros((m, n), dtype)
-    rho = jnp.zeros((m,), dtype)
+    # history ring buffers (or the previous chunk's, warm-restarted)
+    if init_state is None:
+        S = jnp.zeros((m, n), dtype)
+        Y = jnp.zeros((m, n), dtype)
+        rho = jnp.zeros((m,), dtype)
+        k0 = jnp.asarray(0)
+    else:
+        S, Y, rho, k0 = init_state
 
     def direction(g, S, Y, rho, k):
         """Two-loop recursion; entries with rho==0 are inactive."""
@@ -102,7 +126,7 @@ def lbfgs_minimize(
 
     def cond(st):
         x, f, g, S, Y, rho, k, done = st
-        return jnp.logical_and(k < max_iters, jnp.logical_not(done))
+        return jnp.logical_and(k < k0 + max_iters, jnp.logical_not(done))
 
     def step(st):
         x, f, g, S, Y, rho, k, done = st
@@ -156,6 +180,6 @@ def lbfgs_minimize(
         return x_new, f_val, g_new, S, Y, rho, k + 1, done
 
     x, f, g, S, Y, rho, k, done = jax.lax.while_loop(
-        cond, step, (x0_vec, f0, g0, S, Y, rho, jnp.asarray(0), jnp.asarray(False))
+        cond, step, (x0_vec, f0, g0, S, Y, rho, k0, jnp.asarray(False))
     )
-    return unravel(x), f, k
+    return unravel(x), f, (S, Y, rho, k)
