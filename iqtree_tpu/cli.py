@@ -159,12 +159,24 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 0
 
     result = None
-    if cfg.fix_topology:
+    if cfg.site_freq_file:
+        # -fs: site-specific state-frequency model (+SSF / ModelSet,
+        # modelfactory.cpp:301-345); replaces aln with the class-pure
+        # regrouped alignment (regroupSitePattern semantics)
+        aln, result = _run_ssf(cfg, aln, model_str, dtype, log)
+    elif cfg.fix_topology:
         result = _run_fixed_topology(cfg, aln, model_str, dtype, log)
     else:
         result = _run_search(cfg, aln, model_str, dtype, log, ckp)
 
     tree, subst, rate, lnl, iters, pattern_lnl, ufboot = result
+
+    if cfg.site_freq_file and (cfg.alrt or cfg.lmap or cfg.write_site_rates
+                               or cfg.std_bootstrap):
+        log("WARNING: -alrt/-lmap/-wsr/-b are not supported together with "
+            "-fs; skipping those analyses")
+        cfg.alrt = cfg.lmap = cfg.std_bootstrap = 0
+        cfg.write_site_rates = False
 
     # ---- standard bootstrap (-b): full re-analysis per replicate ------
     # (runStandardBootstrap, phyloanalysis.cpp:2222; each replicate is the
@@ -638,6 +650,88 @@ def _run_fixed_topology(cfg, aln, model_str, dtype, log):
     ma = jax.jit(opt.build)(params)
     _, pattern_lnl = jax.jit(loglik)(ta, ma, site)
     return tree, subst, rate, float(lnl), 0, np.asarray(pattern_lnl), None
+
+
+def _run_ssf(cfg, aln, model_str, dtype, log):
+    """-fs: site-specific state-frequency (+SSF) analysis.
+
+    Mirrors the reference's ModelSet path (modelfactory.cpp:301-345):
+    read the frequency file, regroup patterns to be class-pure, build one
+    eigensystem per class sharing the exchangeabilities, then optimize
+    shared model parameters + branch lengths with the per-pattern-class
+    engine (engine/sitemodel.py).
+
+    Topology: with -te the user topology is used directly (as in the
+    reference).  Without -te, the topology is first inferred by the
+    standard search under the base model (+F empirical), then refit under
+    +SSF — a documented deviation (the reference searches under ModelSet
+    itself); logged below.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .engine.likelihood import SiteData, TreeArrays
+    from .engine.sitemodel import ssf_compute_loglik
+    from .models.factory import parse_model_string
+    from .models.sitefreq import (
+        SSFOptimizer,
+        optimize_ssf_model_and_branches,
+        read_site_freq_file,
+        regroup_by_class,
+    )
+    from .trees.tree import PhyloTree
+
+    log(f"Reading site-specific state frequency file "
+        f"{cfg.site_freq_file} ...")
+    site_class, class_freq = read_site_freq_file(cfg.site_freq_file, aln)
+    base = model_str.split("+")[0].upper()
+    if base in ("JC", "POISSON", "JC69"):
+        raise SystemExit("JC is not suitable for site-specific model")
+    log("Regrouping alignment sites...")
+    new_aln, ptn_class = regroup_by_class(aln, site_class)
+    log(f"Site-specific frequency model: {class_freq.shape[0]} classes, "
+        f"{new_aln.n_patterns} class-pure patterns")
+
+    subst, rate = parse_model_string(model_str, new_aln)
+    if getattr(subst, "asc", False):
+        raise SystemExit("+ASC is not supported with -fs")
+
+    rng = np.random.default_rng(cfg.seed)
+    if cfg.fix_topology:
+        tree = PhyloTree.from_newick(
+            open(cfg.user_tree).read(), new_aln.names, rng=rng
+        )
+    else:
+        log("NOTE: topology search runs under the base model; the final "
+            "model/branch fit uses +SSF (deviation from the reference, "
+            "which searches under ModelSet)")
+        from .search.driver import SearchParams, run_search
+
+        sp = SearchParams(
+            model=model_str, seed=cfg.seed,
+            n_init_trees=cfg.n_init_trees, n_top_init=cfg.n_top_init,
+            unsuccess_iteration=cfg.unsuccess_iteration,
+            fixed_iterations=cfg.n_iterations,
+            max_seconds=cfg.max_seconds, dtype=dtype, log=log,
+        )
+        tree = run_search(aln, sp).best_tree
+
+    opt = SSFOptimizer(
+        subst=subst, rate=rate, dtype=dtype,
+        class_freq=class_freq, ptn_class=ptn_class,
+    )
+    site = SiteData.from_alignment(new_aln, dtype)
+    ta = TreeArrays.from_tree(tree, dtype)
+    ta, params, lnl = optimize_ssf_model_and_branches(opt, ta, site)
+    tree.blen = ta.host_blen()
+    log(f"Optimal log-likelihood (+SSF): {lnl:.4f}")
+    subst, rate = opt.unpack(params)
+    subst.name = subst.name + "+SSF"
+    _, pattern_lnl = jax.jit(ssf_compute_loglik)(
+        ta, opt.build_ssf(params), site
+    )
+    return new_aln, (tree, subst, rate, float(lnl), 0,
+                     np.asarray(pattern_lnl), None)
 
 
 def _run_search(cfg, aln, model_str, dtype, log, ckp=None):

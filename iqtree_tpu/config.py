@@ -23,6 +23,7 @@ class RunConfig:
     user_tree: Optional[str] = None  # -t/-te file
     fix_topology: bool = False  # -te given
     fix_branch_lengths: bool = False  # -blfix / -fixbr
+    site_freq_file: Optional[str] = None  # -fs (+SSF site-specific freqs)
     seed: int = 1  # -seed
     n_iterations: Optional[int] = None  # -n (fixed)
     unsuccess_iteration: int = 100  # -nstop
@@ -108,6 +109,8 @@ def parse_args(argv) -> RunConfig:
                    help="starting tree file (topology may change)")
     p.add_argument("-te", dest="user_tree", default=None,
                    help="user tree file (fixed topology)")
+    p.add_argument("-fs", dest="site_freq_file", default=None,
+                   help="site-specific state-frequency file (+SSF model)")
     p.add_argument("-blfix", "-fixbr", dest="fix_bl", action="store_true",
                    help="fix branch lengths of the user tree")
     p.add_argument("-seed", dest="seed", type=int, default=1)
@@ -243,6 +246,7 @@ def parse_args(argv) -> RunConfig:
         user_tree=a.user_tree or a.start_tree,
         fix_topology=a.user_tree is not None,
         fix_branch_lengths=a.fix_bl,
+        site_freq_file=a.site_freq_file,
         seed=a.seed,
         n_iterations=a.n_iterations,
         unsuccess_iteration=a.unsuccess,

@@ -157,14 +157,11 @@ class ModelOptimizer:
         return p
 
     # -- building ------------------------------------------------------
-    def build(self, params: Dict[str, jnp.ndarray]) -> ModelArrays:
-        if self.is_nonrev:
-            return self._build_nonrev(params)
-        if self.is_mixture:
-            return self._build_mixture(params)
+    def _exchange_matrix(self, params: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """[S,S] symmetric exchangeability matrix from the parameters
+        (shared by the plain build and the site-specific SSF build)."""
         dt = self.dtype
         S = self.subst.num_states
-        # exchangeabilities
         if self.is_codon:
             sub = self.subst
             lk = (
@@ -196,6 +193,16 @@ class ModelOptimizer:
             sym = jnp.zeros((S, S), dt)
             sym = sym.at[self.pair_i, self.pair_j].set(pair_rates)
             sym = sym + sym.T
+        return sym
+
+    def build(self, params: Dict[str, jnp.ndarray]) -> ModelArrays:
+        if self.is_nonrev:
+            return self._build_nonrev(params)
+        if self.is_mixture:
+            return self._build_mixture(params)
+        dt = self.dtype
+        S = self.subst.num_states
+        sym = self._exchange_matrix(params)
         # frequencies
         if self.opt_freq:
             freq = jax.nn.softmax(params["freq_logits"])

@@ -65,11 +65,18 @@ def lbfgs_minimize(
     memory_size: int = 10,
     max_backtracks: int = 25,
     init_state=None,
+    forward_grad: bool = False,
 ):
     """Minimize `fun(pytree) -> scalar`.  Returns (x, value, state); the
     state tuple (S, Y, rho, k) can be fed back via `init_state` to
     continue a chunked optimization with its curvature history intact
     (k doubles as the cumulative iteration count).
+
+    forward_grad=True computes gradients by n forward-mode JVPs (one per
+    parameter, sequential lax.map) instead of reverse mode — for
+    objectives whose program is forward-only (e.g. the site-specific
+    engine's fori_loop pruning, which has no custom VJP) with few
+    parameters.
 
     Designed to be called inside jit; the whole optimization is one
     lax.while_loop."""
@@ -80,9 +87,17 @@ def lbfgs_minimize(
     dtype = x0_vec.dtype
     m = memory_size
 
-    def vg(v):
-        val, g = jax.value_and_grad(lambda p: fun(unravel(p)))(v)
-        return val, g
+    if forward_grad:
+        def vg(v):
+            f = lambda p: fun(unravel(p))
+            val = f(v)
+            basis = jnp.eye(n, dtype=dtype)
+            g = jax.lax.map(lambda e: jax.jvp(f, (v,), (e,))[1], basis)
+            return val, g
+    else:
+        def vg(v):
+            val, g = jax.value_and_grad(lambda p: fun(unravel(p)))(v)
+            return val, g
 
     f0, g0 = vg(x0_vec)
 
