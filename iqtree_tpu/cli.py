@@ -351,6 +351,45 @@ def main(argv: Optional[List[str]] = None) -> int:
         )
         write_site_rates(prefix + ".rate", aln, np.asarray(rates_p))
         log(f"  Site rates:                    {prefix}.rate")
+    if cfg.mh_rates and not cfg.site_freq_file:
+        # -mh: ML site rates (Meyer & von Haeseler 2003) -> .mhrate;
+        # -mhcat K adds the RateMeyerDiscrete k-means categorization
+        # (the reference's -mh parsing is commented out in 1.4.3,
+        # tools.cpp:1814, but the machinery is ratemeyerhaeseler.cpp /
+        # ratemeyerdiscrete.cpp and usage still documents it)
+        import jax
+
+        from .engine.likelihood import SiteData, TreeArrays
+        from .engine.site_rates import (
+            discrete_ml_site_rates,
+            ml_site_rates,
+            write_site_rates,
+        )
+        from .models.optimize import ModelOptimizer
+
+        opt_m = ModelOptimizer(subst, rate, dtype=dtype)
+        ma_m = jax.jit(opt_m.build)(opt_m.init_params())
+        ta_m = TreeArrays.from_tree(tree, dtype)
+        sd_m = SiteData.from_alignment(aln, dtype,
+                                       asc=getattr(subst, "asc", False))
+        if cfg.mh_cats > 0:
+            cat_rates, cats, ptn_rates = discrete_ml_site_rates(
+                ta_m, ma_m, sd_m, cfg.mh_cats,
+                use_log=not cfg.mcat_nolog,
+                per_site_weights=cfg.mcat_site,
+            )
+            write_site_rates(
+                prefix + ".mhrate", aln, ptn_rates, categories=cats,
+                method=f"Meyer & von Haeseler (2003), discretized into "
+                       f"{cfg.mh_cats} categories by k-means",
+            )
+            log("Discrete category rates: "
+                + " ".join(f"{r:.4f}" for r in cat_rates))
+        else:
+            mh = np.asarray(jax.jit(ml_site_rates)(ta_m, ma_m, sd_m))
+            write_site_rates(prefix + ".mhrate", aln, mh,
+                             method="Meyer & von Haeseler (2003) ML")
+        log(f"  MH site rates:                 {prefix}.mhrate")
     log(f"BEST SCORE FOUND : {lnl:.4f}")
     log(f"Total wall-clock time used: {time.time() - t0:.3f} sec")
     log("")

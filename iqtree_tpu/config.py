@@ -33,6 +33,11 @@ class RunConfig:
     n_threads: int = 0  # -nt (0 = all devices)
     write_site_lnl: bool = False  # -wsl
     write_site_rates: bool = False  # -wsr
+    mh_rates: bool = False  # -mh (Meyer-von Haeseler ML site rates)
+    mh_cats: int = 0  # -mhcat k (RateMeyerDiscrete k-means categories)
+    mcat_mean: bool = False  # -cat_mean (unsupported placeholder)
+    mcat_nolog: bool = False  # -cat_nolog (k-means in rate, not log-rate)
+    mcat_site: bool = False  # -cat_site (weight patterns by site count)
     redo: bool = False  # -redo
     quiet: bool = False  # -quiet
     ufboot: int = 0  # -bb replicates
@@ -127,6 +132,12 @@ def parse_args(argv) -> RunConfig:
     p.add_argument("-nt", dest="n_threads", type=int, default=0)
     p.add_argument("-wsl", dest="wsl", action="store_true",
                    help="write site log-likelihoods")
+    p.add_argument("-mh", dest="mh", action="store_true",
+                   help="ML site rates (Meyer & von Haeseler 2003) to .mhrate")
+    p.add_argument("-mhcat", dest="mhcat", type=int, default=0,
+                   help="discretize -mh rates into K categories (k-means)")
+    p.add_argument("-cat_nolog", dest="cat_nolog", action="store_true")
+    p.add_argument("-cat_site", dest="cat_site", action="store_true")
     p.add_argument("-wsr", dest="wsr", action="store_true",
                    help="write site-specific rates (.rate)")
     p.add_argument("-redo", dest="redo", action="store_true")
@@ -256,6 +267,10 @@ def parse_args(argv) -> RunConfig:
         n_threads=a.n_threads,
         write_site_lnl=a.wsl,
         write_site_rates=a.wsr,
+        mh_rates=a.mh or a.mhcat > 0,
+        mh_cats=a.mhcat,
+        mcat_nolog=a.cat_nolog,
+        mcat_site=a.cat_site,
         redo=a.redo,
         quiet=a.quiet,
         ufboot=a.ufboot,

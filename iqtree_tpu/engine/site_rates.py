@@ -104,13 +104,109 @@ def ml_site_rates(
     return jnp.exp(log_rate)
 
 
+def weighted_kmeans_1d(
+    points: np.ndarray,
+    weights: np.ndarray,
+    k: int,
+    max_iters: int = 200,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic weighted 1-D k-means: weighted-quantile init + Lloyd
+    to convergence.  Replaces the reference's RunKMeans1D
+    (model/ratemeyerdiscrete.cpp:453, vendored kmeans/) — deterministic
+    init instead of random restarts.  Returns (centers [k] sorted,
+    assignment [n])."""
+    points = np.asarray(points, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
+    order = np.argsort(points)
+    ps, ws = points[order], weights[order]
+    cw = np.cumsum(ws)
+    q = (np.arange(k) + 0.5) / k * cw[-1]
+    centers = ps[np.searchsorted(cw, q).clip(0, len(ps) - 1)]
+    centers = np.unique(centers)
+    if centers.size < k:  # duplicate quantiles (few distinct points)
+        extra = centers[-1] + np.arange(1, k - centers.size + 1, dtype=np.float64)
+        centers = np.sort(np.concatenate([centers, extra]))
+    for _ in range(max_iters):
+        assign = np.argmin(np.abs(points[:, None] - centers[None, :]), axis=1)
+        new = centers.copy()
+        for j in range(k):
+            m = assign == j
+            wsum = weights[m].sum()
+            if wsum > 0:
+                new[j] = (points[m] * weights[m]).sum() / wsum
+        if np.allclose(new, centers, atol=1e-12):
+            break
+        centers = new
+    order = np.argsort(centers)
+    remap = np.empty(k, dtype=np.int64)
+    remap[order] = np.arange(k)
+    return centers[order], remap[assign]
+
+
+MIN_SITE_RATE = 1e-4
+MAX_SITE_RATE = 100.0
+
+
+def discrete_ml_site_rates(
+    tree: TreeArrays,
+    model: ModelArrays,
+    site: SiteData,
+    ncat: int,
+    use_log: bool = True,
+    per_site_weights: bool = False,
+    aln=None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """RateMeyerDiscrete: k-means discretization of the per-pattern ML
+    rates (model/ratemeyerdiscrete.cpp:432 classifyRatesKMeans).
+
+    Defaults mirror the reference's MCAT_LOG + MCAT_PATTERN
+    (tools.cpp:811): clustering in log-rate space with unit
+    per-pattern weights; per_site_weights=True (reference -cat_site)
+    weights each pattern by its site frequency.  Category rates are
+    rail-clipped and renormalized to weighted mean 1 over non-saturated
+    sites (normalizeRates, ratemeyerdiscrete.cpp:410).
+
+    Returns (cat_rates [ncat], ptn_cat [P], ptn_rates [P])."""
+    raw = np.asarray(jax.jit(ml_site_rates)(tree, model, site))
+    pts = np.log(np.maximum(raw, MIN_SITE_RATE)) if use_log else raw
+    w = np.ones_like(raw)
+    if per_site_weights:
+        w = np.asarray(site.pattern_freq)
+    centers, cat = weighted_kmeans_1d(pts, w, ncat)
+    rates = np.exp(centers) if use_log else centers
+    rates[0] = max(rates[0], MIN_SITE_RATE)
+    rates[-1] = min(rates[-1], MAX_SITE_RATE)
+    # normalize to weighted mean 1 over non-saturated sites
+    ptn_rates = rates[cat]
+    freq = np.asarray(site.pattern_freq)
+    ok = ptn_rates < MAX_SITE_RATE
+    sum_r = (ptn_rates[ok] * freq[ok]).sum()
+    sum_w = freq[ok].sum()
+    if abs(sum_r - sum_w) > 1e-3 and sum_r > 0:
+        scale = sum_w / sum_r
+        adj = (rates > 2 * MIN_SITE_RATE) & (rates < MAX_SITE_RATE)
+        rates[adj] *= scale
+        ptn_rates = rates[cat]
+    return rates, cat, ptn_rates
+
+
 def write_site_rates(path: str, aln, rates: np.ndarray,
-                     posteriors: np.ndarray = None):
+                     posteriors: np.ndarray = None,
+                     categories: np.ndarray = None,
+                     method: str = "empirical Bayes posterior mean"):
     """.rate file (reference -wsr format: site, rate [, category])."""
     site_rates = np.asarray(rates)[aln.site_to_pattern]
+    site_cat = (
+        np.asarray(categories)[aln.site_to_pattern]
+        if categories is not None else None
+    )
     with open(path, "w") as f:
         f.write("# Site-specific substitution rates determined by "
-                "empirical Bayes posterior mean\n")
-        f.write("Site\tRate\n")
+                f"{method}\n")
+        f.write("Site\tRate" + ("\tCategory" if site_cat is not None else "")
+                + "\n")
         for i, r in enumerate(site_rates, 1):
-            f.write(f"{i}\t{r:.5f}\n")
+            if site_cat is not None:
+                f.write(f"{i}\t{r:.5f}\t{site_cat[i - 1] + 1}\n")
+            else:
+                f.write(f"{i}\t{r:.5f}\n")

@@ -166,6 +166,7 @@ def parse_model_string(
     gamma_cats = 0
     invar = False
     free_cats = 0
+    kat_cats = 0
     alpha, p_invar = 1.0, 0.0
     fix_alpha = fix_pinv = False
     gamma_median = False
@@ -230,6 +231,10 @@ def parse_model_string(
             free_cats = int(upper[1:]) if len(upper) > 1 else 4
             if vals:
                 free_init = np.asarray(vals)
+        elif upper.startswith("K") and (len(upper) == 1 or upper[1:].isdigit()):
+            # +K{n}: RateKategory — free rates, equal category weights
+            # (modelfactory.cpp:527-531, ratekategory.cpp:23)
+            kat_cats = int(upper[1:]) if len(upper) > 1 else 4
         elif upper == "ASC":
             subst.asc = True
         else:
@@ -270,10 +275,13 @@ def parse_model_string(
                 )
             gamma_cats = gamma_cats or subst.n_mix
 
+    if kat_cats and (gamma_cats or free_cats or invar):
+        raise ModelParseError("+K cannot combine with +G/+R/+I")
     rate = RateModel.make(
         gamma_cats=gamma_cats,
         invar=invar,
         free_cats=free_cats,
+        kat_cats=kat_cats,
         alpha=alpha,
         p_invar=p_invar,
         gamma_median=gamma_median,

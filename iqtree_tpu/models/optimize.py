@@ -62,6 +62,7 @@ class ModelOptimizer:
         self.opt_alpha = self.rate.has_gamma and not self.rate.fix_alpha
         self.opt_pinv = self.rate.has_invar and not self.rate.fix_p_invar
         self.opt_free = self.rate.is_free_rate
+        self.opt_kat = getattr(self.rate, "is_kategory", False)
         self.max_pinv = 0.999  # caller may tighten to frac_const_sites
         if self.is_nonrev:
             # UNREST: 11 free off-diagonal rates (last pinned 1.0,
@@ -154,6 +155,13 @@ class ModelOptimizer:
             p["free_logits"] = jnp.asarray(
                 np.log(np.maximum(self.rate.free_props, 1e-6)), dtype=dt
             )
+        if self.opt_kat and self.rate.ncat > 1:
+            # +K: K-1 logits; rates = K * softmax([0, logits]) keeps the
+            # reference's sum(rates) == ncat constraint
+            # (ratekategory.cpp:38) smoothly
+            r0 = np.maximum(np.asarray(self.rate.free_rates), 1e-6)
+            logit = np.log(r0 / r0.sum())
+            p["kat_logits"] = jnp.asarray(logit[1:] - logit[0], dtype=dt)
         return p
 
     # -- building ------------------------------------------------------
@@ -274,6 +282,15 @@ class ModelOptimizer:
             mean = jnp.sum(r * w)
             rates = r / jnp.maximum(mean, 1e-8)
             props = w
+        elif self.opt_kat:
+            if self.rate.ncat > 1:
+                logits = jnp.concatenate(
+                    [jnp.zeros((1,), dt), params["kat_logits"]]
+                )
+                rates = jax.nn.softmax(logits) * self.rate.ncat
+            else:
+                rates = jnp.ones((1,), dt)
+            props = jnp.full((self.rate.ncat,), 1.0 / self.rate.ncat, dt)
         else:
             rates = jnp.ones((1,), dt)
             props = jnp.ones((1,), dt) * (1.0 - pinv)
@@ -348,6 +365,10 @@ class ModelOptimizer:
             rr = np.exp(np.asarray(params["log_free_rates"]))
             ww = np.asarray(jax.nn.softmax(params["free_logits"]))
             r.free_rates, r.free_props = rr, ww
+        if self.opt_kat and r.ncat > 1:
+            logits = np.concatenate([[0.0], np.asarray(params["kat_logits"])])
+            e = np.exp(logits - logits.max())
+            r.free_rates = e / e.sum() * r.ncat
         return s, r
 
     @property

@@ -61,6 +61,13 @@ class RateModel:
         return "R" in self.kind
 
     @property
+    def is_kategory(self) -> bool:
+        """+K: free rates with EQUAL weights and mean pinned to 1
+        (RateKategory, /root/reference/model/ratekategory.cpp:23-38;
+        ndim = ncat-1, ratekategory.h:89)."""
+        return "K" in self.kind
+
+    @property
     def df(self) -> int:
         n = 0
         if self.has_gamma and not self.fix_alpha:
@@ -69,6 +76,8 @@ class RateModel:
             n += 1
         if self.is_free_rate:
             n += 2 * self.ncat - 2
+        if self.is_kategory:
+            n += self.ncat - 1
         return n
 
     def name_suffix(self) -> str:
@@ -79,10 +88,17 @@ class RateModel:
             s += f"+G{self.ncat}" if self.ncat != 4 else "+G4"
         if self.is_free_rate:
             s += f"+R{self.ncat}"
+        if self.is_kategory:
+            s += f"+K{self.ncat}"
         return s
 
     def category_rates(self) -> Tuple[np.ndarray, np.ndarray]:
         """(rates [C], props [C]); props sum to 1 - p_invar."""
+        if self.is_kategory:
+            r = np.asarray(self.free_rates, dtype=np.float64)
+            r = r / r.mean()  # the reference keeps sum(rates) == ncat
+            w = np.full(self.ncat, 1.0 / self.ncat)
+            return r, w
         if self.is_free_rate:
             r = np.asarray(self.free_rates, dtype=np.float64)
             w = np.asarray(self.free_props, dtype=np.float64)
@@ -110,7 +126,20 @@ class RateModel:
         gamma_median: bool = False,
         fix_alpha: bool = False,
         fix_p_invar: bool = False,
+        kat_cats: int = 0,
     ) -> "RateModel":
+        if kat_cats:
+            # +K: K free rates, equal weights (RateKategory); the
+            # reference inits randomly in [0.1,0.9] then rescales to
+            # mean 1 (ratekategory.cpp:34-38) — a deterministic gamma
+            # ladder is used here instead (same init as +R)
+            k = kat_cats
+            return cls(
+                kind="K", ncat=k, p_invar=0.0,
+                free_rates=(discrete_gamma_rates(1.0, k) if k > 1
+                            else np.ones(1)),
+                free_props=np.full(k, 1.0 / k),
+            )
         if free_cats:
             kind = "R+I" if invar else "R"
             k = free_cats

@@ -50,3 +50,89 @@ def test_ml_site_rates(setup):
     # constant sites drive their ML rate to the minimum rail
     assert rates[const].mean() < 0.05
     assert rates[~const].mean() > rates[const].mean()
+
+
+def test_weighted_kmeans_1d():
+    from iqtree_tpu.engine.site_rates import weighted_kmeans_1d
+
+    pts = np.array([0.1, 0.11, 0.12, 5.0, 5.1, 9.9, 10.0, 10.1])
+    w = np.ones_like(pts)
+    centers, assign = weighted_kmeans_1d(pts, w, 3)
+    assert centers.shape == (3,)
+    assert np.all(np.diff(centers) > 0)
+    np.testing.assert_allclose(centers, [0.11, 5.05, 10.0], atol=1e-6)
+    np.testing.assert_array_equal(assign, [0, 0, 0, 1, 1, 2, 2, 2])
+    # weights pull the center
+    w2 = np.array([100.0, 1, 1, 1, 1, 1, 1, 1])
+    c2, _ = weighted_kmeans_1d(pts, w2, 3)
+    assert c2[0] < 0.105
+
+
+def test_discrete_ml_site_rates(setup):
+    """RateMeyerDiscrete analogue: k-means discretization of ML rates
+    (model/ratemeyerdiscrete.cpp:432)."""
+    from iqtree_tpu.engine.site_rates import (
+        MAX_SITE_RATE,
+        discrete_ml_site_rates,
+    )
+
+    aln, ta, ma, sd = setup
+    k = 4
+    cat_rates, cats, ptn_rates = discrete_ml_site_rates(ta, ma, sd, k)
+    P = np.asarray(sd.pattern_freq).shape[0]
+    assert cats.shape == (P,) and ptn_rates.shape == (P,)
+    assert cat_rates.shape == (k,)
+    assert np.all(np.diff(cat_rates) > 0)
+    assert cats.min() >= 0 and cats.max() < k
+    # weighted mean ~ 1 over non-saturated sites (normalizeRates)
+    freq = np.asarray(sd.pattern_freq)
+    ok = ptn_rates < MAX_SITE_RATE
+    mean = (ptn_rates[ok] * freq[ok]).sum() / freq[ok].sum()
+    assert abs(mean - 1.0) < 0.01
+    # rates must follow the category assignment
+    np.testing.assert_allclose(ptn_rates, cat_rates[cats])
+
+
+def test_kategory_rate_model():
+    """+K (RateKategory, ratekategory.cpp:23): free rates, equal
+    weights, sum(rates) == ncat."""
+    from iqtree_tpu.models.optimize import ModelOptimizer, fit_model_step
+
+    aln = read_alignment("tests/data/example.phy")
+    subst, rate = parse_model_string("HKY+K3", aln)
+    assert rate.is_kategory and rate.ncat == 3
+    assert rate.df == 2
+    r, w = rate.category_rates()
+    np.testing.assert_allclose(w, np.full(3, 1 / 3))
+    np.testing.assert_allclose(r.mean(), 1.0)
+    tree = PhyloTree.from_newick(
+        open("tests/data/golden_tree_44.nwk").read(), aln.names
+    )
+    ta = TreeArrays.from_tree(tree, jnp.float64)
+    sd = SiteData.from_alignment(aln, jnp.float64)
+    opt = ModelOptimizer(subst, rate, dtype=jnp.float64)
+    p0 = opt.init_params()
+    assert p0["kat_logits"].shape == (2,)
+    ma0 = opt.build(p0)
+    np.testing.assert_allclose(float(ma0.rates.sum()), 3.0, rtol=1e-12)
+    from iqtree_tpu.engine.grad import loglik
+
+    lnl0, _ = loglik(ta, ma0, sd)
+    params, lnl = jax.jit(
+        lambda t, p: fit_model_step(opt, t, sd, p, 40)
+    )(ta, p0)
+    assert float(lnl) > float(lnl0)
+    s2, r2 = opt.unpack(params)
+    rr, ww = r2.category_rates()
+    np.testing.assert_allclose(rr.mean(), 1.0, rtol=1e-9)
+    assert rr.max() > 1.5  # example.phy has strong rate heterogeneity
+
+
+def test_parse_kategory_rejects_combos():
+    from iqtree_tpu.models.factory import ModelParseError
+
+    aln = read_alignment("tests/data/example.phy")
+    with pytest.raises(ModelParseError):
+        parse_model_string("HKY+K3+G4", aln)
+    with pytest.raises(ModelParseError):
+        parse_model_string("HKY+K3+I", aln)
