@@ -290,7 +290,9 @@ class ModelOptimizer:
                 rates = jax.nn.softmax(logits) * self.rate.ncat
             else:
                 rates = jnp.ones((1,), dt)
-            props = jnp.full((self.rate.ncat,), 1.0 / self.rate.ncat, dt)
+            # weight 1.0 per category (reference RateKategory convention,
+            # rateheterogeneity.h:121 — see models/rates.py)
+            props = jnp.ones((self.rate.ncat,), dt)
         else:
             rates = jnp.ones((1,), dt)
             props = jnp.ones((1,), dt) * (1.0 - pinv)

@@ -97,7 +97,12 @@ class RateModel:
         if self.is_kategory:
             r = np.asarray(self.free_rates, dtype=np.float64)
             r = r / r.mean()  # the reference keeps sum(rates) == ncat
-            w = np.full(self.ncat, 1.0 / self.ncat)
+            # RateKategory inherits getProp() == 1.0 (rateheterogeneity.h:121
+            # — unlike RateGamma's 1/ncat), so the reference's +K site
+            # likelihood is the UNWEIGHTED SUM over categories; reported
+            # lnL is offset by +n_sites*log(ncat) vs a 1/K-weighted mix.
+            # Matched here so lnL and BIC agree with the reference.
+            w = np.ones(self.ncat)
             return r, w
         if self.is_free_rate:
             r = np.asarray(self.free_rates, dtype=np.float64)

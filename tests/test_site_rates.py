@@ -103,7 +103,9 @@ def test_kategory_rate_model():
     assert rate.is_kategory and rate.ncat == 3
     assert rate.df == 2
     r, w = rate.category_rates()
-    np.testing.assert_allclose(w, np.full(3, 1 / 3))
+    # reference RateKategory convention: weight 1.0 per category
+    # (rateheterogeneity.h:121), lnL = sum over categories unweighted
+    np.testing.assert_allclose(w, np.ones(3))
     np.testing.assert_allclose(r.mean(), 1.0)
     tree = PhyloTree.from_newick(
         open("tests/data/golden_tree_44.nwk").read(), aln.names
@@ -136,3 +138,29 @@ def test_parse_kategory_rejects_combos():
         parse_model_string("HKY+K3+G4", aln)
     with pytest.raises(ModelParseError):
         parse_model_string("HKY+K3+I", aln)
+
+
+def test_kategory_golden_reference_parity():
+    """Reference: iqtree-omp -s example.phy -m HKY+K3 -te <tree> gives
+    BEST SCORE -10883.562 with rates {0.108, 0.770, 2.122} (category
+    weight 1.0 each per the RateKategory getProp()==1 convention)."""
+    from iqtree_tpu.models.optimize import (
+        ModelOptimizer,
+        optimize_model_and_branches,
+    )
+
+    aln = read_alignment("tests/data/example.phy")
+    subst, rate = parse_model_string("HKY+K3", aln)
+    tree = PhyloTree.from_newick(
+        open("tests/data/ssf_golden.treefile").read(), aln.names,
+        rng=np.random.default_rng(0),
+    )
+    ta = TreeArrays.from_tree(tree, jnp.float64)
+    sd = SiteData.from_alignment(aln, jnp.float64)
+    opt = ModelOptimizer(subst, rate, dtype=jnp.float64)
+    _, params, lnl = optimize_model_and_branches(opt, ta, sd, tol=0.001)
+    assert lnl >= -10883.562 - 0.05
+    _, r2 = opt.unpack(params)
+    rr, _ = r2.category_rates()
+    np.testing.assert_allclose(sorted(rr), [0.108, 0.770, 2.122],
+                               atol=0.02)
