@@ -99,6 +99,11 @@ def main():
                                     steps=steps, n_slots=n_slots)
     sys.stderr.write(f"compile+warmup {time.time()-t_compile:.1f}s\n")
 
+    # optional profiler capture (IQTREE_TPU_PROFILE=/path/to/tracedir)
+    profile_dir = os.environ.get("IQTREE_TPU_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     t0 = time.time()
     ta2, params, lnl = optimize_model_and_branches(
         opt, ta, site, rounds=10, tol=0.01, steps=steps, n_slots=n_slots
@@ -115,7 +120,30 @@ def main():
         out = f(ta2, ma, site)[0]
     out.block_until_ready()
     eval_sec = (time.time() - t1) / K
+    if profile_dir:
+        jax.profiler.stop_trace()
+        sys.stderr.write(f"profiler trace written to {profile_dir}\n")
     sites_per_sec = aln.n_sites / eval_sec
+
+    # ---- observability: roofline estimates for ONE lnL evaluation -----
+    # (north-star metric "site-pattern lnL evals/sec/chip", BASELINE.md)
+    P = int(site.tip_codes.shape[1])
+    C = 4
+    S = 4
+    n_nodes = 2 * N_TAXA - 2
+    # pruning flops: per node, per category: message matmul [S,S]x[S,P]
+    # (2 S^2 P) + child-product and rescale (~4 S P elementwise)
+    flops = n_nodes * C * (2 * S * S * P + 4 * S * P)
+    # HBM bytes: the fused kernel keeps partials in VMEM; per node it
+    # streams the trans matrices [C,S,S] in and one partial tile out;
+    # the XLA mailbox path re-streams mailbox+partials (~4x more)
+    f32 = 4
+    bytes_fused = n_nodes * C * (S * S + 2 * S * P) * f32
+    peak_flops = 197e12 / 2  # v5e bf16 394/2 per chip ~ f32 via MXU passes
+    peak_bw = 8.1e11  # v5e HBM ~810 GB/s
+    mfu = flops / eval_sec / peak_flops
+    bw_util = bytes_fused / eval_sec / peak_bw
+    ptn_evals_per_sec = P / eval_sec
 
     ref_seconds = REF_SECONDS
     if ref_seconds is None and os.path.exists(REF_SECONDS_FILE):
@@ -123,15 +151,28 @@ def main():
     vs_baseline = (ref_seconds / our_seconds) if ref_seconds else None
 
     sys.stderr.write(
-        f"fit lnL={float(lnl):.2f} in {our_seconds:.1f}s; "
-        f"lnl-eval {eval_sec*1000:.1f}ms ({sites_per_sec:.3g} sites/s); "
-        f"ref={ref_seconds}s\n"
+        f"[phases] setup {t_compile-t_setup:.1f}s | "
+        f"compile+warmup {t0-t_compile:.1f}s | fit {our_seconds:.1f}s | "
+        f"eval {eval_sec*1000:.2f}ms/lnL\n"
+        f"[throughput] {sites_per_sec:.3g} sites/s, "
+        f"{ptn_evals_per_sec:.3g} pattern-lnL evals/s/chip\n"
+        f"[roofline] ~{flops/1e9:.2f} GFLOP/eval -> MFU {mfu*100:.2f}%; "
+        f"~{bytes_fused/1e9:.2f} GB/eval -> HBM-BW {bw_util*100:.1f}% "
+        f"(S=4 work is bandwidth-bound by design: the MXU tile is 128x128, "
+        f"DNA states use 4)\n"
+        f"fit lnL={float(lnl):.2f} in {our_seconds:.1f}s; ref={ref_seconds}s\n"
     )
     print(json.dumps({
         "metric": "fixed_tree_gtrg_fit_1000taxa_speedup",
         "value": round(our_seconds, 2),
         "unit": "seconds (lower better); vs_baseline = ref_sec/our_sec",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "sites_per_sec": round(sites_per_sec),
+        "pattern_lnl_evals_per_sec_per_chip": round(ptn_evals_per_sec),
+        "lnl_eval_ms": round(eval_sec * 1000, 3),
+        "mfu_pct": round(mfu * 100, 3),
+        "hbm_bw_util_pct": round(bw_util * 100, 2),
+        "final_lnl": round(float(lnl), 2),
     }))
 
 

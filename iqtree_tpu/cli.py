@@ -14,6 +14,40 @@ from typing import List, Optional
 import numpy as np
 
 
+def _install_crash_handlers(log_lines: List[str], prefix: str):
+    """Crash resilience (reference funcAbort, pda.cpp:2221-2225): on
+    SIGSEGV/SIGFPE/SIGILL/SIGBUS/SIGABRT print a native traceback plus
+    the tail of the run log, and flush the .log file so the crash
+    context is not lost."""
+    import faulthandler
+    import signal
+
+    faulthandler.enable()
+
+    def on_signal(signum, frame):
+        sys.stderr.write(
+            f"\n*** iqtree-tpu CRASHES WITH SIGNAL "
+            f"{signal.Signals(signum).name} ***\n*** last log lines:\n"
+        )
+        for ln in log_lines[-15:]:
+            sys.stderr.write("    " + ln + "\n")
+        sys.stderr.write(f"*** full log: {prefix}.log\n")
+        try:
+            with open(prefix + ".log", "w") as f:
+                f.write("\n".join(log_lines) + "\n")
+        except OSError:
+            pass
+        signal.signal(signum, signal.SIG_DFL)
+        signal.raise_signal(signum)
+
+    for sig in (signal.SIGSEGV, signal.SIGFPE, signal.SIGILL,
+                signal.SIGBUS, signal.SIGABRT):
+        try:
+            signal.signal(sig, on_signal)
+        except (OSError, ValueError):
+            pass  # not installable on this platform / non-main thread
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     from .config import parse_args
@@ -35,6 +69,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         log_lines.append(str(msg))
         if not cfg.quiet:
             print(msg, flush=True)
+
+    _install_crash_handlers(log_lines, prefix)
 
     t0 = time.time()
     from . import __version__
@@ -82,6 +118,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             ckp.data = {}
         else:
             log(f"Resuming from checkpoint {ckp.path}")
+            prev_cmd = ckp.get("command")
+            if prev_cmd and prev_cmd != command:
+                # reference warns when the restored run used different
+                # options (pda.cpp:2357-2378 checkCommandLine)
+                log("WARNING: Command-line differs from the checkpoint:")
+                log(f"WARNING:   checkpoint: {prev_cmd}")
+                log(f"WARNING:   current:    {command}")
+                log("WARNING: Continuing anyway; use -redo to restart")
     ckp.put("command", command)
 
     from .io.alignment import read_alignment

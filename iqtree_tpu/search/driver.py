@@ -91,6 +91,24 @@ class SearchResult:
     ufboot: object = None  # UFBoot instance when -bb was requested
 
 
+def _mparams_dump(mparams: dict) -> dict:
+    """Model-parameter pytree -> JSON-serializable dict (CKP_SAVE of the
+    model variables, reference modelgtr.cpp saveCheckpoint)."""
+    return {k: np.asarray(v).tolist() for k, v in mparams.items()}
+
+
+def _mparams_restore(blob: dict, template: dict) -> dict:
+    """Inverse of _mparams_dump; dtypes/shapes taken from the template
+    produced by ModelOptimizer.init_params()."""
+    out = {}
+    for k, v in template.items():
+        if k in blob:
+            out[k] = jnp.asarray(blob[k], dtype=v.dtype).reshape(v.shape)
+        else:
+            out[k] = v
+    return out
+
+
 def random_nni_perturb(tree: PhyloTree, n_moves: int, rng: np.random.Generator):
     """IQTree::doRandomNNIs (/root/reference/iqtree.cpp:1302)."""
     for _ in range(n_moves):
@@ -145,13 +163,24 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         return t
 
     # ---- model initialization on the start tree ----------------------
-    log("Optimizing model parameters on the start tree...")
-    ta = TreeArrays.from_tree(tree, dtype)
-    ta, mparams, lnl = optimize_model_and_branches(
-        opt, ta, site, params=mparams, rounds=10, tol=0.1
-    )
-    tree.blen = ta.host_blen()
-    log(f"Start tree lnL: {lnl:.4f}")
+    # (phase-gated like finishedModelInit, phyloanalysis.cpp:1757)
+    ckp = params.checkpoint
+    if ckp is not None and ckp.has("search.mparams"):
+        mparams = _mparams_restore(ckp.get("search.mparams"), mparams)
+        tree = PhyloTree.from_newick(ckp.get("search.init_tree"), aln.names)
+        log("Restored model parameters + start tree from checkpoint")
+    else:
+        log("Optimizing model parameters on the start tree...")
+        ta = TreeArrays.from_tree(tree, dtype)
+        ta, mparams, lnl = optimize_model_and_branches(
+            opt, ta, site, params=mparams, rounds=10, tol=0.1
+        )
+        tree.blen = ta.host_blen()
+        log(f"Start tree lnL: {lnl:.4f}")
+        if ckp is not None:
+            ckp.put("search.mparams", _mparams_dump(mparams))
+            ckp.put("search.init_tree", tree.to_newick(aln.names))
+            ckp.dump(force=True)
 
     model_arrays = jax.jit(opt.build)(mparams)
     engine = NNIEngine(model_arrays, site, dtype=dtype, nni5=params.nni5,
@@ -229,7 +258,6 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         return not stop.should_stop()
 
     # ---- checkpoint resume (phase gates like phyloanalysis.cpp:1757) --
-    ckp = params.checkpoint
     if ckp is not None and ckp.has("search.best_tree"):
         from ..trees.tree import PhyloTree as _PT
 
@@ -243,6 +271,12 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
             cand.update(_PT.from_newick(nwk, aln.names), float(score))
         stop.restore(ckp.get("search.stoprule", {}))
         rng.bit_generator.state = ckp.get("search.rng_state")
+        if ufboot is not None and ckp.has("search.ufboot"):
+            # a resumed -bb run must not silently lose its bootstrap
+            # progress (boot_logl / per-sample best trees)
+            ufboot.restore(ckp.get("search.ufboot"), aln.names)
+            log(f"Restored UFBoot state "
+                f"({len(ufboot._trees)} distinct bootstrap trees)")
 
     def save_checkpoint():
         if ckp is None:
@@ -255,6 +289,8 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         )
         ckp.put("search.stoprule", stop.state())
         ckp.put("search.rng_state", rng.bit_generator.state)
+        if ufboot is not None:
+            ckp.put("search.ufboot", ufboot.state(aln.names))
         ckp.dump(force=False)
 
     while keep_searching():
@@ -288,6 +324,12 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     )
     best_tree.blen = ta.host_blen()
     subst, rate = opt.unpack(mparams)
+    if ckp is not None:
+        # separate key: overwriting search.mparams here would make a
+        # resumed run start from post-final-optimization parameters and
+        # diverge from an uninterrupted run
+        ckp.put("search.final_mparams", _mparams_dump(mparams))
+        ckp.dump(force=True)
     log(f"BEST SCORE FOUND: {best_lnl:.4f}")
     return SearchResult(
         best_tree=best_tree,

@@ -104,6 +104,36 @@ class UFBoot:
         self.converged_correlation = corr
         return corr
 
+    # -- checkpoint state (reference: IQTree::saveCheckpoint persists
+    # boot_samples/boot_logl/boot_trees, iqtree.cpp saveCheckpoint) -----
+    def state(self, names) -> dict:
+        """JSON-serializable snapshot: per-sample best RELL scores, the
+        per-sample best-tree ids, the distinct tree topologies, and the
+        last convergence-check split frequencies."""
+        return {
+            "boot_logl": self.boot_logl.tolist(),
+            "boot_tree_id": self.boot_tree_id.tolist(),
+            "trees": [t.to_newick(names) for t in self._trees],
+            "ckp_freqs": (
+                [[sorted(k), v] for k, v in self._checkpoint_freqs.items()]
+                if self._checkpoint_freqs is not None else None
+            ),
+        }
+
+    def restore(self, state: dict, names) -> None:
+        self.boot_logl = np.asarray(state["boot_logl"], dtype=np.float64)
+        self.boot_tree_id = np.asarray(state["boot_tree_id"], dtype=np.int64)
+        self._trees = [
+            PhyloTree.from_newick(nwk, names) for nwk in state["trees"]
+        ]
+        self._tree_keys = {
+            t.splits_key(): i for i, t in enumerate(self._trees)
+        }
+        if state.get("ckp_freqs") is not None:
+            self._checkpoint_freqs = {
+                frozenset(members): v for members, v in state["ckp_freqs"]
+            }
+
     def supports_for(self, tree: PhyloTree) -> Dict[int, str]:
         return map_supports(tree, self.split_counter())
 

@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Differential-test harness: run a command matrix through BOTH the
+reference binary and iqtree_tpu, diff the comparable outputs.
+
+TPU-native re-creation of the reference's pre-release QC
+(/root/reference/test_scripts/generate_test_cmds.py:10-90,
+test_configs.txt): the reference crosses alignments x generic options x
+partition options, runs release + candidate binaries under distinct
+-pre prefixes, and diffs outputs.  Here the two "binaries" are the
+reference iqtree-omp and `python -m iqtree_tpu`, and the diff layer
+knows which quantities are comparable:
+
+  exact  fixed-topology fits: lnL must match within tol (default 0.05)
+  geq    stochastic searches: our lnL must be >= reference - tol
+         (the search is randomized; finding a better tree is a pass)
+  topo   additionally require identical unrooted topologies (RF == 0)
+
+Usage:
+  python scripts/difftest.py [--ref BIN] [--only SUBSTR] [--tol T]
+  python scripts/difftest.py --list
+
+Exit code 0 = all comparisons pass.  Each case writes under
+/tmp/iqtree_difftest/<case>/ for inspection.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+DATA = os.path.join(REPO, "tests", "data")
+WORK = "/tmp/iqtree_difftest"
+
+# --- the command matrix (mirrors test_scripts/test_configs.txt) -------
+# each case: (name, mode, common_args)
+# {aln} / {nex} / {tree} expand to the test-data paths
+CASES = [
+    # fixed-topology fits: exact lnL parity
+    ("dna_gtrg_te", "exact", "-s {aln} -m GTR+G -te {tree}"),
+    ("dna_hky_r4_te", "exact", "-s {aln} -m HKY+R4 -te {tree}"),
+    ("dna_k3_te", "exact", "-s {aln} -m HKY+K3 -te {tree}"),
+    ("dna_gtr_i_g_te", "exact", "-s {aln} -m GTR+I+G -te {tree}"),
+    ("prot_lgg_te", "exact", "-s {prot} -m LG+G -te {ptree}"),
+    ("spp_te", "exact", "-s {aln} -spp {nex} -te {sptree}"),
+    # searches: ours must reach at least the reference's lnL
+    ("dna_search_hkyg", "geq", "-s {aln} -m HKY+G -seed 7"),
+    ("dna_search_bb", "geq", "-s {aln} -m HKY+G -bb 1000 -seed 7"),
+    ("dna_search_alrt", "geq", "-s {aln} -m HKY+G -alrt 1000 -seed 7"),
+]
+
+SUBS = {
+    "aln": os.path.join(DATA, "example.phy"),
+    "nex": os.path.join(DATA, "example.nex"),
+    "tree": os.path.join(DATA, "ssf_golden.treefile"),
+    "sptree": os.path.join(DATA, "spp_golden.treefile"),
+    "prot": os.path.join(DATA, "prot_M126_27_269.phy"),
+    "ptree": os.path.join(DATA, "lg_golden.treefile"),
+}
+
+
+def best_score(path_prefix: str) -> float:
+    """Extract the final lnL from a run's log (both tools print
+    'BEST SCORE FOUND' / 'Optimal log-likelihood')."""
+    for ext in (".log", ".out"):
+        p = path_prefix + ext
+        if not os.path.exists(p):
+            continue
+        txt = open(p, errors="replace").read()
+        m = re.findall(r"BEST SCORE FOUND\s*:\s*(-?\d+\.?\d*)", txt)
+        if m:
+            return float(m[-1])
+        m = re.findall(r"Optimal log-likelihood(?: \(\+SSF\))?:\s*(-?\d+\.?\d*)", txt)
+        if m:
+            return float(m[-1])
+    raise RuntimeError(f"no lnL found under {path_prefix}")
+
+
+def rf_distance(tree_a: str, tree_b: str) -> int:
+    sys.path.insert(0, REPO)
+    from iqtree_tpu.analysis.treeutils import read_trees
+
+    (ta,), names = read_trees(tree_a)
+    (tb,), _ = read_trees(tree_b, taxon_names=names)
+    return int(ta.robinson_foulds(tb))
+
+
+def run_case(name, mode, args, ref_bin, tol, timeout):
+    d = os.path.join(WORK, name)
+    os.makedirs(d, exist_ok=True)
+    cmd = args.format(**SUBS)
+    ref_pre = os.path.join(d, "ref")
+    our_pre = os.path.join(d, "tpu")
+    r1 = subprocess.run(
+        f"{ref_bin} {cmd} -nt 2 -pre {ref_pre} -seed 7 -redo > {ref_pre}.out 2>&1",
+        shell=True, timeout=timeout,
+    )
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r2 = subprocess.run(
+        f"{sys.executable} -m iqtree_tpu {cmd} -pre {our_pre} --f64 -redo "
+        f"> {our_pre}.out 2>&1",
+        shell=True, timeout=timeout, env=env,
+    )
+    if r1.returncode != 0:
+        return ("REF-FAIL", None, None)
+    if r2.returncode != 0:
+        return ("TPU-FAIL", None, None)
+    lr = best_score(ref_pre)
+    lo = best_score(our_pre)
+    if mode == "exact":
+        ok = abs(lo - lr) <= tol or lo > lr  # better optimum also passes
+    else:
+        ok = lo >= lr - max(tol, 0.5)
+    return ("PASS" if ok else "DIFF", lr, lo)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref", default=os.environ.get(
+        "IQTREE_REF_BIN", "/tmp/refbuild/iqtree-omp"))
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--tol", type=float, default=0.05)
+    ap.add_argument("--timeout", type=float, default=3600)
+    ap.add_argument("--list", action="store_true")
+    a = ap.parse_args()
+    if a.list:
+        for name, mode, args in CASES:
+            print(f"{name:<22} {mode:<6} {args}")
+        return 0
+    if not os.path.exists(a.ref):
+        print(f"reference binary not found at {a.ref}; build with:\n"
+              "  mkdir -p /tmp/refbuild && cd /tmp/refbuild && "
+              "cmake -DIQTREE_FLAGS=omp -DCMAKE_CXX_FLAGS='-std=gnu++11 -w' "
+              "-DCMAKE_C_FLAGS=-w /root/reference && make -j8")
+        return 2
+    os.makedirs(WORK, exist_ok=True)
+    failures = 0
+    rows = []
+    for name, mode, args in CASES:
+        if a.only and a.only not in name:
+            continue
+        try:
+            status, lr, lo = run_case(name, mode, args, a.ref, a.tol,
+                                      a.timeout)
+        except Exception as e:  # timeout, parse failure
+            status, lr, lo = f"ERR:{type(e).__name__}", None, None
+        rows.append((name, mode, status, lr, lo))
+        if status != "PASS":
+            failures += 1
+        fmt = lambda x: f"{x:.3f}" if x is not None else "-"
+        print(f"{name:<22} {mode:<6} {status:<10} "
+              f"ref={fmt(lr):<13} tpu={fmt(lo)}", flush=True)
+    with open(os.path.join(WORK, "summary.json"), "w") as f:
+        json.dump([{"case": n, "mode": m, "status": s,
+                    "ref_lnl": lr, "tpu_lnl": lo}
+                   for n, m, s, lr, lo in rows], f, indent=1)
+    print(f"\n{len(rows) - failures}/{len(rows)} passed; "
+          f"details under {WORK}/")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -99,3 +99,47 @@ def test_stable_splits():
     for t in trees[1:]:
         inter = inter & frozenset(tree_splits(t))
     assert stable == inter
+
+
+def test_ufboot_checkpoint_kill_and_resume(tmp_path):
+    """A -bb run interrupted mid-search and resumed must produce the
+    SAME final supports and bootstrap state as an uninterrupted run
+    (VERDICT W6: resumed -bb must not lose bootstrap progress).
+
+    Interruption is simulated by running the same seed with a smaller
+    fixed iteration count (checkpoint saved each iteration), then
+    resuming with the full count; the full-run checkpoint state and the
+    resumed state must be identical."""
+    import jax.numpy as jnp
+
+    from iqtree_tpu.utils.checkpoint import Checkpoint
+
+    _, aln = _simulate(n_taxa=7, n_sites=200, seed=3)
+
+    def run(ckp_path, iters):
+        ckp = Checkpoint(str(ckp_path), dump_interval=0.0)
+        ckp.load()
+        p = SearchParams(
+            model="HKY+G", seed=11, n_init_trees=3, n_top_init=2,
+            fixed_iterations=iters, ufboot=50, step_iterations=5,
+            dtype=jnp.float64, log=lambda s: None, checkpoint=ckp,
+        )
+        return run_search(aln, p)
+
+    # uninterrupted
+    res_a = run(tmp_path / "a.ckp.gz", 8)
+    # interrupted after 4 iterations, then resumed to 8
+    run(tmp_path / "b.ckp.gz", 4)
+    res_b = run(tmp_path / "b.ckp.gz", 8)
+
+    assert res_a.best_tree.splits_key() == res_b.best_tree.splits_key()
+    assert abs(res_a.best_lnl - res_b.best_lnl) < 1e-6
+    np.testing.assert_array_equal(
+        res_a.ufboot.boot_tree_id >= 0, res_b.ufboot.boot_tree_id >= 0
+    )
+    np.testing.assert_allclose(
+        res_a.ufboot.boot_logl, res_b.ufboot.boot_logl, rtol=1e-9
+    )
+    sup_a = res_a.ufboot.supports_for(res_a.best_tree)
+    sup_b = res_b.ufboot.supports_for(res_b.best_tree)
+    assert sup_a == sup_b
