@@ -106,7 +106,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     # checkpoint gate (reference: pda.cpp:2187-2210)
     from .utils.checkpoint import Checkpoint
 
-    ckp = Checkpoint(prefix + ".ckp.gz")
+    ckp = Checkpoint(prefix + ".ckp.gz", dump_interval=cfg.ckp_interval)
     if ckp.load():
         if ckp.is_finished("all") and not cfg.redo:
             log(
@@ -150,6 +150,28 @@ def main(argv: Optional[List[str]] = None) -> int:
         f"Alignment: {aln.n_taxa} sequences, {aln.n_sites} sites, "
         f"{aln.n_patterns} patterns ({aln.states.seq_type})"
     )
+
+    if cfg.outgroup:
+        # -o: display rooting — taxon 0's pendant edge is where printed
+        # trees trifurcate (trees/tree.py to_newick), so moving the
+        # outgroup to index 0 roots every output tree on it (the
+        # reference's root_outgroup semantics, tools.cpp '-o')
+        from .io.alignment import Alignment as _Aln
+
+        og = cfg.outgroup.split(",")[0]
+        if og not in aln.names:
+            log(f"ERROR: outgroup taxon {og} not found in alignment")
+            return 2
+        k = aln.names.index(og)
+        perm = [k] + [i for i in range(aln.n_taxa) if i != k]
+        aln = _Aln(
+            names=[aln.names[i] for i in perm],
+            patterns=aln.patterns[perm],
+            pattern_freq=aln.pattern_freq,
+            site_to_pattern=aln.site_to_pattern,
+            states=aln.states,
+        )
+        log(f"Rooting output trees at outgroup {og}")
 
     # ---- alignment utility modes (pda.cpp:2420-2427 dispatch) ---------
     if cfg.site_lnl_file or cfg.mprob_ref or cfg.pars_multistate:
@@ -338,7 +360,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     support = None
     if ufboot is not None:
         support = ufboot.supports_for(tree)
-        ufboot.write_ufboot(prefix + ".ufboot", aln.names)
+        if cfg.write_boot_trees:
+            ufboot.write_ufboot(prefix + ".ufboot", aln.names)
+            log(f"  UFBoot trees:                  {prefix}.ufboot")
         ufboot.write_splits_nex(prefix + ".splits.nex", aln.names)
         contree = ufboot.consensus()
         with open(prefix + ".contree", "w") as f:
@@ -348,7 +372,6 @@ def main(argv: Optional[List[str]] = None) -> int:
                 )
                 + "\n"
             )
-        log(f"  UFBoot trees:                  {prefix}.ufboot")
         log(f"  Split support values:          {prefix}.splits.nex")
         log(f"  Consensus tree:                {prefix}.contree")
     if support is None and std_boot_support is not None:
@@ -845,9 +868,19 @@ def _run_search(cfg, aln, model_str, dtype, log, ckp=None):
         start_tree=open(cfg.user_tree).read() if cfg.user_tree else None,
         log=log,
         ufboot=cfg.ufboot,
+        min_correlation=cfg.min_correlation,
+        step_iterations=cfg.step_iterations,
+        verbose=cfg.verbose,
         checkpoint=ckp,
     )
     res = run_search(aln, sp)
+    if cfg.write_local_trees:
+        # -wt: all locally optimal (candidate) trees -> .treels
+        # (reference print_tree_lh/.treels, tools.cpp '-wt')
+        with open(cfg.out_prefix + ".treels", "w") as f:
+            for s, t in res.candidates.sorted_entries():
+                f.write(t.to_newick(aln.names) + "\n")
+        log(f"  Locally optimal trees:         {cfg.out_prefix}.treels")
     site = SiteData.from_alignment(aln, dtype, asc=res.subst.asc)
     ma = jax.jit(res.model_opt.build)(res.params_vec)
     ta = TreeArrays.from_tree(res.best_tree, dtype)

@@ -24,6 +24,13 @@ class RunConfig:
     fix_topology: bool = False  # -te given
     fix_branch_lengths: bool = False  # -blfix / -fixbr
     site_freq_file: Optional[str] = None  # -fs (+SSF site-specific freqs)
+    outgroup: Optional[str] = None  # -o taxon[,taxon...] (display rooting)
+    verbose: int = 0  # -v[v] verbosity ladder (VB_MED/VB_MAX, tools.h:323)
+    write_boot_trees: bool = False  # -wbt (.ufboot only when asked, like ref)
+    write_local_trees: bool = False  # -wt (.treels: all locally optimal trees)
+    ckp_interval: float = 30.0  # -cptime seconds between checkpoint dumps
+    min_correlation: float = 0.99  # -bcor UFBoot convergence correlation
+    step_iterations: int = 100  # -nstep UFBoot correlation check interval
     seed: int = 1  # -seed
     n_iterations: Optional[int] = None  # -n (fixed)
     unsuccess_iteration: int = 100  # -nstop
@@ -119,10 +126,30 @@ def parse_args(argv) -> RunConfig:
     p.add_argument("-blfix", "-fixbr", dest="fix_bl", action="store_true",
                    help="fix branch lengths of the user tree")
     p.add_argument("-seed", dest="seed", type=int, default=1)
+    p.add_argument("-o", dest="outgroup", default=None,
+                   help="outgroup taxon for display rooting")
+    p.add_argument("-v", dest="verbose", action="count", default=0,
+                   help="verbose mode (repeat for more)")
+    p.add_argument("-i", dest="p_invar_fix", type=float, default=None,
+                   help="fix proportion of invariable sites")
+    p.add_argument("-a", dest="alpha_fix", type=float, default=None,
+                   help="fix Gamma shape parameter")
+    p.add_argument("-gmedian", dest="gmedian", action="store_true",
+                   help="median (not mean) discrete-Gamma category rates")
+    p.add_argument("-wbt", dest="wbt", action="store_true",
+                   help="write UFBoot trees to .ufboot")
+    p.add_argument("-wt", dest="wt", action="store_true",
+                   help="write all locally optimal trees to .treels")
+    p.add_argument("-cptime", dest="cptime", type=float, default=30.0,
+                   help="min seconds between periodic checkpoint dumps")
+    p.add_argument("-bcor", dest="bcor", type=float, default=0.99,
+                   help="min UFBoot split correlation for convergence")
+    p.add_argument("-nstep", dest="nstep", type=int, default=100,
+                   help="UFBoot correlation check interval")
     p.add_argument("-n", dest="n_iterations", type=int, default=None,
                    help="fixed number of search iterations")
     p.add_argument("-nstop", dest="unsuccess", type=int, default=100)
-    p.add_argument("-sr", dest="weibull_max", type=int, default=None,
+    p.add_argument("-sr", "-nm", dest="weibull_max", type=int, default=None,
                    help="Weibull stopping rule with max iterations "
                         "(reference SC_WEIBULL, tools.cpp:2001)")
     p.add_argument("-sc", dest="stop_confidence", type=float, default=0.95,
@@ -249,6 +276,21 @@ def parse_args(argv) -> RunConfig:
         model_test_merge = True
         model_test_only = model.endswith("ONLY")
         model = None
+    # -i/-a/-gmedian pin rate parameters by rewriting the model string
+    # (the reference sets Params fields consumed by the factory,
+    # tools.cpp '-i'/'-a'/'-gmedian' branches)
+    import re as _re
+
+    if model:
+        if a.alpha_fix is not None:
+            model = _re.sub(r"\+G(\d*)(?!\{|\d)",
+                            lambda m: f"+G{m.group(1)}{{{a.alpha_fix}}}",
+                            model, count=1)
+        if a.p_invar_fix is not None:
+            model = _re.sub(r"\+I(?!\{)",
+                            f"+I{{{a.p_invar_fix}}}", model, count=1)
+        if a.gmedian:
+            model = _re.sub(r"\+G(\d*)(?!M)", r"+GM\1", model, count=1)
     return RunConfig(
         aln_file=a.aln_file,
         seq_type=a.seq_type,
@@ -258,6 +300,13 @@ def parse_args(argv) -> RunConfig:
         fix_topology=a.user_tree is not None,
         fix_branch_lengths=a.fix_bl,
         site_freq_file=a.site_freq_file,
+        outgroup=a.outgroup,
+        verbose=a.verbose,
+        write_boot_trees=a.wbt,
+        write_local_trees=a.wt,
+        ckp_interval=a.cptime,
+        min_correlation=a.bcor,
+        step_iterations=a.nstep,
         seed=a.seed,
         n_iterations=a.n_iterations,
         unsuccess_iteration=a.unsuccess,

@@ -219,10 +219,14 @@ def parse_model_string(
             if vals:
                 p_invar, fix_pinv = vals[0], True
         elif upper.startswith("G") and (len(upper) == 1 or upper[1:].isdigit()
+                                        or (upper.startswith("GM") and
+                                            upper[2:].isdigit())
                                         or upper == "GM"):
-            if upper == "GM":
+            if upper.startswith("GM"):
                 gamma_median = True
-                gamma_cats = gamma_cats or 4
+                gamma_cats = int(upper[2:]) if len(upper) > 2 else (
+                    gamma_cats or 4
+                )
             else:
                 gamma_cats = int(upper[1:]) if len(upper) > 1 else 4
             if vals:

@@ -70,6 +70,7 @@ class SearchParams:
     min_correlation: float = 0.99
     max_boot_iterations: int = 1000
     checkpoint: object = None  # utils.checkpoint.Checkpoint for resume
+    verbose: int = 0  # -v[v] ladder (VB_MED/VB_MAX, tools.h:323)
     # standard bootstrap support: replace pattern frequencies (the
     # resampled alignment has the same patterns with new weights, so the
     # same compiled programs serve every replicate)
@@ -310,7 +311,7 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
             )
         stop.iteration_done(improved)
         save_checkpoint()
-        if stop.cur_iteration % 10 == 0:
+        if params.verbose >= 1 or stop.cur_iteration % 10 == 0:
             log(
                 f"Iteration {stop.cur_iteration} / LogL: {r.lnl:.3f} / "
                 f"best: {best_lnl:.3f} / {time.time() - t_start:.1f}s"
