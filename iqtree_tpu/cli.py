@@ -803,14 +803,24 @@ def _run_ssf(cfg, aln, model_str, dtype, log):
         raise SystemExit("+ASC is not supported with -fs")
 
     rng = np.random.default_rng(cfg.seed)
+    iters = 0
     if cfg.fix_topology:
         tree = PhyloTree.from_newick(
             open(cfg.user_tree).read(), new_aln.names, rng=rng
         )
+        opt = SSFOptimizer(
+            subst=subst, rate=rate, dtype=dtype,
+            class_freq=class_freq, ptn_class=ptn_class,
+        )
+        site = SiteData.from_alignment(new_aln, dtype)
+        ta = TreeArrays.from_tree(tree, dtype)
+        ta, params, lnl = optimize_ssf_model_and_branches(opt, ta, site)
+        tree.blen = ta.host_blen()
+        subst, rate = opt.unpack(params)
+        ssf_arrays = opt.build_ssf(params)
     else:
-        log("NOTE: topology search runs under the base model; the final "
-            "model/branch fit uses +SSF (deviation from the reference, "
-            "which searches under ModelSet)")
+        # full stochastic search on the SSF engine (the reference runs
+        # its NNI search over the sitemodel kernels the same way)
         from .search.driver import SearchParams, run_search
 
         sp = SearchParams(
@@ -819,24 +829,19 @@ def _run_ssf(cfg, aln, model_str, dtype, log):
             unsuccess_iteration=cfg.unsuccess_iteration,
             fixed_iterations=cfg.n_iterations,
             max_seconds=cfg.max_seconds, dtype=dtype, log=log,
+            ufboot=cfg.ufboot, ssf=(class_freq, ptn_class),
         )
-        tree = run_search(aln, sp).best_tree
-
-    opt = SSFOptimizer(
-        subst=subst, rate=rate, dtype=dtype,
-        class_freq=class_freq, ptn_class=ptn_class,
-    )
-    site = SiteData.from_alignment(new_aln, dtype)
-    ta = TreeArrays.from_tree(tree, dtype)
-    ta, params, lnl = optimize_ssf_model_and_branches(opt, ta, site)
-    tree.blen = ta.host_blen()
+        res = run_search(new_aln, sp)
+        tree, lnl, iters = res.best_tree, res.best_lnl, res.iterations
+        subst, rate = res.subst, res.rate
+        opt = res.model_opt
+        site = SiteData.from_alignment(new_aln, dtype)
+        ta = TreeArrays.from_tree(tree, dtype)
+        ssf_arrays = opt.build_ssf(res.params_vec)
     log(f"Optimal log-likelihood (+SSF): {lnl:.4f}")
-    subst, rate = opt.unpack(params)
     subst.name = subst.name + "+SSF"
-    _, pattern_lnl = jax.jit(ssf_compute_loglik)(
-        ta, opt.build_ssf(params), site
-    )
-    return new_aln, (tree, subst, rate, float(lnl), 0,
+    _, pattern_lnl = jax.jit(ssf_compute_loglik)(ta, ssf_arrays, site)
+    return new_aln, (tree, subst, rate, float(lnl), iters,
                      np.asarray(pattern_lnl), None)
 
 

@@ -184,23 +184,61 @@ def evaluate_nnis(
 
     nni5=True re-optimizes all 5 local branch lengths (reference default,
     phylotree.cpp getBestNNIForBran with params->nni5); nni5=False only
-    the central one."""
-    trans = branch_transition_mats(model, tree.blen)
-    tips = tip_partials(site, model.ncat)
-    up, up_scale, mb, msc = upward_pass(tree, trans, tips, return_mailbox=True)
-    out, out_scale, dbuf, d_scale = downward_pass(
-        tree, trans, mb, msc, model.state_freq, with_d=True
-    )
-    ptn_invar = _ptn_invar(model, site)
+    the central one.
+
+    Site-specific models (SSFArrays, engine/sitemodel.py) dispatch to
+    the per-pattern-basis primitives — the search machinery is shared
+    (the reference likewise reuses its NNI loop over the sitemodel
+    kernels, phylokernelsitemodel.h)."""
+    is_ssf = hasattr(model, "ptn_class")
+    if is_ssf:
+        from .sitemodel import (
+            gather_eigendata,
+            ssf_apply,
+            ssf_apply_t,
+            ssf_downward_pass,
+            ssf_ptn_invar,
+            ssf_theta_lnl_newton,
+            ssf_upward_pass,
+        )
+
+        g = gather_eigendata(model)
+        tips = tip_partials(site, model.ncat)
+        up, up_scale, mb, msc = ssf_upward_pass(
+            tree, model, g, tips, return_mailbox=True
+        )
+        out, out_scale = ssf_downward_pass(tree, model, g, mb, msc)
+        ptn_invar = ssf_ptn_invar(model, g, site)
+        papply = lambda t, x: ssf_apply(g, model.rates, t, x)
+        papply_t = lambda t, x: ssf_apply_t(g, model.rates, t, x)
+        theta_newton = lambda ins, s_in, outs, s_out, t0, iters: (
+            ssf_theta_lnl_newton(model, g, site, ins, s_in, outs, s_out,
+                                 t0, ptn_invar, iters)
+        )
+    else:
+        trans = branch_transition_mats(model, tree.blen)
+        tips = tip_partials(site, model.ncat)
+        up, up_scale, mb, msc = upward_pass(
+            tree, trans, tips, return_mailbox=True
+        )
+        out, out_scale = downward_pass(
+            tree, trans, mb, msc, model.state_freq, with_d=False
+        )
+        ptn_invar = _ptn_invar(model, site)
+        papply = lambda t, x: _apply(_pmat(model, t), x)
+        papply_t = lambda t, x: _apply_t(_pmat(model, t), x)
+        theta_newton = lambda ins, s_in, outs, s_out, t0, iters: (
+            _theta_lnl_newton(model, site, ins, s_in, outs, s_out, t0,
+                              ptn_invar, iters)
+        )
 
     root = tree.root
     # current lnL through the same machinery (for consistent comparison):
     # use the first edge's parent edge theta — any branch gives the tree lnL
     def cur_lnl_fn():
         v = edges[0]
-        _, lnl, _ = _theta_lnl_newton(
-            model, site, up[v], up_scale[v], out[v], out_scale[v],
-            tree.blen[v], ptn_invar, newton_iters=0,
+        _, lnl, _ = theta_newton(
+            up[v], up_scale[v], out[v], out_scale[v], tree.blen[v], 0,
         )
         return lnl
 
@@ -232,39 +270,28 @@ def evaluate_nnis(
 
         def local_iter(_, ts):
             t_p, t_q, t_r, t_u, t_c = ts
-            M_p = _apply(_pmat(model, t_p), U_p)
-            M_q = _apply(_pmat(model, t_q), U_q)
-            M_r = _apply(_pmat(model, t_r), U_r)
-            M_up = _apply_t(_pmat(model, t_u), O_u)
+            M_p = papply(t_p, U_p)
+            M_q = papply(t_q, U_q)
+            M_r = papply(t_r, U_r)
+            M_up = papply_t(t_u, O_u)
             inside, s_in = _rescale(M_p * M_q, sU_p + sU_q)
             outside, s_out = _rescale(M_r * M_up, sU_r + sO_u)
             # central branch
-            t_c, _, _ = _theta_lnl_newton(
-                model, site, inside, s_in, outside, s_out, t_c, ptn_invar, 2
-            )
+            t_c, _, _ = theta_newton(inside, s_in, outside, s_out, t_c, 2)
             if nni5:
-                pc = _pmat(model, t_c)
-                down = _apply_t(pc, outside)  # at v, from outside
+                down = papply_t(t_c, outside)  # at v, from outside
                 s_down = s_out
                 # outer branch p: outside = M_q * down
                 o_p, so_p = _rescale(M_q * down, sU_q + s_down)
-                t_p, _, _ = _theta_lnl_newton(
-                    model, site, U_p, sU_p, o_p, so_p, t_p, ptn_invar, 2
-                )
+                t_p, _, _ = theta_newton(U_p, sU_p, o_p, so_p, t_p, 2)
                 o_q, so_q = _rescale(M_p * down, sU_p + s_down)
-                t_q, _, _ = _theta_lnl_newton(
-                    model, site, U_q, sU_q, o_q, so_q, t_q, ptn_invar, 2
-                )
-                up2 = _apply(pc, inside)  # message v->u
+                t_q, _, _ = theta_newton(U_q, sU_q, o_q, so_q, t_q, 2)
+                up2 = papply(t_c, inside)  # message v->u
                 s_up2 = s_in
                 o_r, so_r = _rescale(M_up * up2, sO_u + s_up2)
-                t_r, _, _ = _theta_lnl_newton(
-                    model, site, U_r, sU_r, o_r, so_r, t_r, ptn_invar, 2
-                )
+                t_r, _, _ = theta_newton(U_r, sU_r, o_r, so_r, t_r, 2)
                 u_in, su_in = _rescale(M_r * up2, sU_r + s_up2)
-                t_u, _, _ = _theta_lnl_newton(
-                    model, site, u_in, su_in, O_u, sO_u, t_u, ptn_invar, 2
-                )
+                t_u, _, _ = theta_newton(u_in, su_in, O_u, sO_u, t_u, 2)
             return t_p, t_q, t_r, t_u, t_c
 
         ts = jax.lax.fori_loop(
@@ -272,15 +299,14 @@ def evaluate_nnis(
         )
         t_p, t_q, t_r, t_u, t_c = ts
         # final score at the center
-        M_p = _apply(_pmat(model, t_p), U_p)
-        M_q = _apply(_pmat(model, t_q), U_q)
-        M_r = _apply(_pmat(model, t_r), U_r)
-        M_up = _apply_t(_pmat(model, t_u), O_u)
+        M_p = papply(t_p, U_p)
+        M_q = papply(t_q, U_q)
+        M_r = papply(t_r, U_r)
+        M_up = papply_t(t_u, O_u)
         inside, s_in = _rescale(M_p * M_q, sU_p + sU_q)
         outside, s_out = _rescale(M_r * M_up, sU_r + sO_u)
-        t_c, lnl, slnl = _theta_lnl_newton(
-            model, site, inside, s_in, outside, s_out, t_c, ptn_invar,
-            final_newton,
+        t_c, lnl, slnl = theta_newton(
+            inside, s_in, outside, s_out, t_c, final_newton,
         )
         return lnl, t_c, slnl
 

@@ -403,6 +403,98 @@ def ssf_branch_lnl_derivs(
     return lnl[:nv], d1[:nv], d2[:nv]
 
 
+def ssf_apply(g: SSFGathered, rates, t, x):
+    """P_p(t r_c) @ x for a SCALAR branch length: [C,S,P] -> [C,S,P]
+    (per-pattern-basis analogue of nni._apply(_pmat(...)))."""
+    z = jnp.einsum("jtp,ctp->cjp", g.vinv, x, precision=HIGHEST)
+    e = jnp.exp(g.lam[None] * (t * rates)[:, None, None])
+    return jnp.einsum("sjp,cjp->csp", g.v, e * z, precision=HIGHEST)
+
+
+def ssf_apply_t(g: SSFGathered, rates, t, x):
+    """P_p(t r_c)^T @ x (transpose transport)."""
+    a = jnp.einsum("sjp,csp->cjp", g.v, x, precision=HIGHEST)
+    e = jnp.exp(g.lam[None] * (t * rates)[:, None, None])
+    return jnp.einsum("jtp,cjp->ctp", g.vinv, e * a, precision=HIGHEST)
+
+
+def ssf_ptn_invar(ssf: SSFArrays, g: SSFGathered, site: SiteData):
+    """[P] invariable-site weights with per-pattern class frequencies."""
+    S = ssf.num_states
+    freq_ext = jnp.concatenate(
+        [g.freq, jnp.ones((1, g.freq.shape[1]), g.freq.dtype)], axis=0
+    )
+    w = jnp.where(
+        site.const_state >= 0,
+        jnp.take_along_axis(
+            freq_ext, jnp.clip(site.const_state, 0, S)[None, :], axis=0
+        )[0],
+        0.0,
+    )
+    return ssf.p_invar * w
+
+
+def ssf_theta_lnl_newton(
+    ssf: SSFArrays,
+    g: SSFGathered,
+    site: SiteData,
+    inside, in_scale, outside, out_scale,
+    t0, ptn_invar, newton_iters: int = 4,
+):
+    """1-D branch Newton on an eigen-basis theta buffer with per-pattern
+    eigenvalues (the SSF analogue of nni._theta_lnl_newton)."""
+    scale = in_scale + out_scale
+    invar = ptn_invar * jnp.exp(jnp.clip(-scale, max=80.0)) * (ptn_invar > 0)
+    vt_o = jnp.einsum("sjp,csp->cjp", g.v, outside, precision=HIGHEST)
+    vi_u = jnp.einsum("jtp,ctp->cjp", g.vinv, inside, precision=HIGHEST)
+    theta = vt_o * vi_u  # [C, j, P]
+    lam_r = g.lam[None] * ssf.rates[:, None, None]  # [C, j, P]
+
+    def derivs(t):
+        e = ssf.props[:, None, None] * jnp.exp(lam_r * t)
+        et = e * theta
+        f0 = jnp.sum(et, axis=(0, 1))
+        f1 = jnp.sum(et * lam_r, axis=(0, 1))
+        f2 = jnp.sum(et * lam_r * lam_r, axis=(0, 1))
+        denom = jnp.maximum(f0, SCALE_TINY) + invar
+        return denom, f1, f2
+
+    from .derivatives import MAX_BLEN, MIN_BLEN
+
+    n_sites = jnp.sum(site.pattern_freq)
+
+    def newton(i, t):
+        denom, f1, f2 = derivs(t)
+        r1 = f1 / denom
+        r2 = f2 / denom
+        d1 = jnp.sum(site.pattern_freq * r1)
+        d2 = jnp.sum(site.pattern_freq * (r2 - r1 * r1))
+        lnl_p = scale + jnp.log(denom)
+        L_asc = site.asc_mask * jnp.exp(jnp.minimum(lnl_p, 0.0))
+        one_m_q = jnp.maximum(1.0 - jnp.sum(L_asc), 1e-10)
+        q1 = jnp.sum(L_asc * r1)
+        q2 = jnp.sum(L_asc * r2)
+        d1 = d1 + n_sites * q1 / one_m_q
+        d2 = d2 + n_sites * (q2 / one_m_q + (q1 / one_m_q) ** 2)
+        t_new = jnp.where(
+            d2 < -1e-12,
+            t - d1 / jnp.minimum(d2, -1e-12),
+            jnp.where(d1 > 0, t * 2.0, t * 0.5),
+        )
+        return jnp.clip(t_new, MIN_BLEN, MAX_BLEN)
+
+    t = jax.lax.fori_loop(0, newton_iters, newton, t0)
+    denom, _, _ = derivs(t)
+    site_lnl = scale + jnp.log(denom)
+    from .likelihood import asc_correction
+
+    site_lnl = site_lnl - asc_correction(site, site_lnl)
+    lnl = jnp.sum(
+        site.pattern_freq.astype(jnp.float64) * site_lnl.astype(jnp.float64)
+    )
+    return t, lnl, site_lnl
+
+
 def ssf_optimize_all_branches(
     tree: TreeArrays,
     ssf: SSFArrays,

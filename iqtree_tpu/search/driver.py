@@ -71,6 +71,9 @@ class SearchParams:
     max_boot_iterations: int = 1000
     checkpoint: object = None  # utils.checkpoint.Checkpoint for resume
     verbose: int = 0  # -v[v] ladder (VB_MED/VB_MAX, tools.h:323)
+    # -fs site-specific frequency model: (class_freq [K,S], ptn_class [P]);
+    # the whole search then runs on the SSF engine (engine/sitemodel.py)
+    ssf: object = None
     # standard bootstrap support: replace pattern frequencies (the
     # resampled alignment has the same patterns with new weights, so the
     # same compiled programs serve every replicate)
@@ -120,6 +123,21 @@ def random_nni_perturb(tree: PhyloTree, n_moves: int, rng: np.random.Generator):
         tree.apply_nni(v, int(rng.integers(2)))
 
 
+def _optimize_mb(opt, ta, site, params=None, rounds=10, tol=0.1):
+    """Dispatch model+branch optimization on optimizer type (SSF
+    models use forward-mode L-BFGS + the per-pattern-basis Newton)."""
+    from ..models.sitefreq import SSFOptimizer, optimize_ssf_model_and_branches
+
+    if isinstance(opt, SSFOptimizer):
+        ta, p, lnl = optimize_ssf_model_and_branches(
+            opt, ta, site, params=params, rounds=rounds, tol=tol
+        )
+        return ta, p, lnl
+    return optimize_model_and_branches(
+        opt, ta, site, params=params, rounds=rounds, tol=tol
+    )
+
+
 def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     t_start = time.time()
     rng = np.random.default_rng(params.seed)
@@ -127,7 +145,14 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     dtype = params.dtype
 
     subst, rate = parse_model_string(params.model, aln)
-    opt = ModelOptimizer(subst, rate, dtype=dtype)
+    if params.ssf is not None:
+        from ..models.sitefreq import SSFOptimizer
+
+        class_freq, ptn_class = params.ssf
+        opt = SSFOptimizer(subst=subst, rate=rate, dtype=dtype,
+                           class_freq=class_freq, ptn_class=ptn_class)
+    else:
+        opt = ModelOptimizer(subst, rate, dtype=dtype)
     site = SiteData.from_alignment(aln, dtype, asc=subst.asc)
     if params.pattern_freq is not None:
         site = site._replace(
@@ -142,7 +167,9 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         log("Using user start tree")
     else:
         log("Computing ML pairwise distances + BIONJ start tree...")
-        ma0 = opt.build(mparams)
+        ma0 = ModelOptimizer(subst, rate, dtype=dtype).build(
+            ModelOptimizer(subst, rate, dtype=dtype).init_params()
+        ) if params.ssf is not None else opt.build(mparams)
         dist = np.asarray(jax.jit(ml_distances)(ma0, site))
         tree = bionj_tree(dist)
 
@@ -173,7 +200,7 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     else:
         log("Optimizing model parameters on the start tree...")
         ta = TreeArrays.from_tree(tree, dtype)
-        ta, mparams, lnl = optimize_model_and_branches(
+        ta, mparams, lnl = _optimize_mb(
             opt, ta, site, params=mparams, rounds=10, tol=0.1
         )
         tree.blen = ta.host_blen()
@@ -183,7 +210,10 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
             ckp.put("search.init_tree", tree.to_newick(aln.names))
             ckp.dump(force=True)
 
-    model_arrays = jax.jit(opt.build)(mparams)
+    model_arrays = (
+        jax.jit(opt.build_ssf)(mparams) if params.ssf is not None
+        else jax.jit(opt.build)(mparams)
+    )
     engine = NNIEngine(model_arrays, site, dtype=dtype, nni5=params.nni5,
                        ub_filter=params.ub_filter, ub_frac=params.ub_frac)
 
@@ -320,7 +350,7 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     # ---- final model optimization on the best tree -------------------
     log("Final model parameter optimization...")
     ta = TreeArrays.from_tree(best_tree, dtype)
-    ta, mparams, best_lnl = optimize_model_and_branches(
+    ta, mparams, best_lnl = _optimize_mb(
         opt, ta, site, params=mparams, rounds=15, tol=0.001
     )
     best_tree.blen = ta.host_blen()

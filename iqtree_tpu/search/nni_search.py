@@ -62,15 +62,32 @@ class NNIEngine:
         self._eval = jax.jit(
             lambda t, m, edges: evaluate_nnis(t, m, self.site, edges, nni5=nni5)
         )
-        self._brlen = jax.jit(
-            lambda t, m, n: optimize_all_branches(t, m, self.site, n_sweeps=n),
-            static_argnames=("n",),
-        )
-        from ..engine.likelihood import compute_loglik
+        if hasattr(model, "ptn_class"):
+            # site-specific model (SSFArrays): per-pattern-basis engine
+            from ..engine.sitemodel import (
+                ssf_compute_loglik,
+                ssf_optimize_all_branches,
+            )
 
-        self._patlnl = jax.jit(
-            lambda t, m: compute_loglik(t, m, self.site)[1]
-        )
+            self._brlen = jax.jit(
+                lambda t, m, n: ssf_optimize_all_branches(
+                    t, m, self.site, n_sweeps=n),
+                static_argnames=("n",),
+            )
+            self._patlnl = jax.jit(
+                lambda t, m: ssf_compute_loglik(t, m, self.site)[1]
+            )
+        else:
+            from ..engine.likelihood import compute_loglik
+
+            self._brlen = jax.jit(
+                lambda t, m, n: optimize_all_branches(
+                    t, m, self.site, n_sweeps=n),
+                static_argnames=("n",),
+            )
+            self._patlnl = jax.jit(
+                lambda t, m: compute_loglik(t, m, self.site)[1]
+            )
 
     def pattern_lnl(self, tree: PhyloTree):
         import numpy as _np

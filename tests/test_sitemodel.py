@@ -307,3 +307,38 @@ def test_ssf_golden_reference_parity():
     sd = SiteData.from_alignment(new_aln, jnp.float64)
     _, _, lnl = optimize_ssf_model_and_branches(opt, ta, sd, tol=0.001)
     assert abs(lnl - (-11349.256)) < 0.05
+
+
+def test_ssf_nni_evaluation_and_hill_climb():
+    """Batched NNI evaluation dispatches to the per-pattern-basis
+    primitives for SSF models; scores must match applying the swap on
+    the host and re-optimizing branches with the SSF engine."""
+    from iqtree_tpu.engine.nni import evaluate_nnis
+    from iqtree_tpu.search.nni_search import NNIEngine
+
+    tree, aln, ptn_class, class_freq, subst, rate = make_ssf_setup(
+        seed=9, n_taxa=8, n_sites=80
+    )
+    ssf = build_ssf(subst, rate, class_freq, ptn_class)
+    sd = SiteData.from_alignment(aln, jnp.float64)
+    ta = TreeArrays.from_tree(tree, jnp.float64)
+    edges_host = tree.internal_edges()
+    edges_dev = np.asarray(ta.h2d)[edges_host]
+    ev = evaluate_nnis(ta, ssf, sd, jnp.asarray(edges_dev))
+    lnl0, _ = ssf_compute_loglik(ta, ssf, sd)
+    # cur_lnl through the theta machinery equals the direct lnL
+    np.testing.assert_allclose(float(ev.cur_lnl), float(lnl0), rtol=1e-9)
+    # each candidate's score is reachable by applying the swap + branch opt
+    for k in range(min(3, len(edges_host))):
+        for s in range(2):
+            t2 = tree.copy()
+            t2.apply_nni(int(edges_host[k]), s)
+            ta2 = TreeArrays.from_tree(t2, jnp.float64)
+            _, lnl_full = ssf_optimize_all_branches(ta2, ssf, sd)
+            # full re-optimization can only be >= the local 5-branch score
+            assert float(lnl_full) >= float(ev.lnl[k, s]) - 1e-6
+    # hill climb end-to-end under SSF
+    engine = NNIEngine(ssf, sd, dtype=jnp.float64)
+    res = engine.hill_climb(tree.copy())
+    assert res.lnl >= float(lnl0) - 1e-9
+    res.tree.check()
