@@ -29,4 +29,11 @@ if _VMEM_FLAG.split("=")[0] not in _os.environ.get("LIBTPU_INIT_ARGS", ""):
         _os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _VMEM_FLAG
     ).strip()
 
+# Mosaic's jaxpr lowering recurses per nested region; the fused reverse
+# sweep (engine/kernels/pruning.py) exceeds CPython's default 1000-frame
+# limit at ~1000-taxon schedules.
+import sys as _sys
+
+_sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20000))
+
 __version__ = "0.1.0"

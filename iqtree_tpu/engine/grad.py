@@ -74,37 +74,39 @@ def _loglik_bwd(res, cotangents, steps=None, n_slots=0):
     # recompute the upward sweep (rematerialization)
     trans = branch_transition_mats(model, tree.blen)
     tips = tip_partials(site, model.ncat)
+    usc8 = None
     if steps is not None:
         # fused Pallas upward (9x the XLA mailbox sweep at 1000 taxa);
-        # outputs are pattern-tile padded — pad the site arrays to match
+        # NO mailbox writes — the fused downward recomputes the child
+        # messages from `up` with the MXU instead of streaming a
+        # [2N,2,C,S,P] mailbox through HBM.  Outputs are pattern-tile
+        # padded — pad the site arrays to match.
         from .derivatives import pad_site_patterns
         from .kernels.pruning import fused_upward_store
-        from .likelihood import SCHED_WIDTH
 
-        up, up_scale, mb = fused_upward_store(
-            steps, n_slots, trans, tips, want_mailbox=True,
-            mb_rows=tree.n_slots + SCHED_WIDTH,
+        up, up_scale, usc8 = fused_upward_store(
+            steps, n_slots, trans, tips, want_scale8=True,
         )
         P_pad = up.shape[-1]
         if P_pad != P0:
             tips = jnp.pad(tips, ((0, 0), (0, 0), (0, P_pad - P0)),
                            constant_values=1.0)
             g_pat = jnp.pad(g_pat, (0, P_pad - P0))
-        up = up.at[: tree.n_taxa].set(tips[:, None, :, :])
-        up_scale = up_scale.at[: tree.n_taxa].set(0.0)
-        msc = jnp.pad(up_scale[tree.children],
-                      ((0, SCHED_WIDTH), (0, 0), (0, 0)))
         site = pad_site_patterns(site, P_pad)
     else:
         up, up_scale, mb, msc = upward_pass(
             tree, trans, tips, return_mailbox=True
         )
     root = tree.root
+    S = tips.shape[1]
 
     # root-level vjp: props, state_freq, p_invar, pattern_freq (and lnl_p)
+    # (the fused store pads the state axis to a sublane multiple for
+    # S=20 protein etc. — slice the root partial back to S)
     def root_fn(model_, pattern_freq_):
         site_ = site._replace(pattern_freq=pattern_freq_)
-        return root_loglik(model_, site_, up[root], up_scale[root])
+        return root_loglik(model_, site_, up[root][:, :S, :],
+                           up_scale[root])
 
     (lnl_total, lnl_p), root_vjp = jax.vjp(root_fn, model, site.pattern_freq)
     model_bar, pattern_freq_bar = root_vjp((g_total, g_pat))
@@ -130,11 +132,27 @@ def _loglik_bwd(res, cotangents, steps=None, n_slots=0):
     u_asc = jnp.sum(
         site.asc_mask * jnp.exp(jnp.minimum(lnl_p.astype(w_p.dtype), 30.0))
     )
-    lnl_raw = lnl_p - jnp.log1p(u_asc)
-    trans_bar = _downward_trans_bar(
-        tree, trans, mb, msc, up, up_scale, model.props, model.state_freq,
-        lnl_raw, w_p,
-    )[: tree.n_slots]
+    lnl_raw = (lnl_p - jnp.log1p(u_asc)).astype(up.dtype)
+    if steps is not None:
+        from .kernels.pruning import fused_downward_tbar
+
+        # the fused reverse sweep reads EVERY child (tips included)
+        # uniformly from the up buffer: fill tip rows + zero tip scales
+        # (tip rows padded to the store's sublane-aligned state axis)
+        S_pad = up.shape[2]
+        tips_f = (jnp.pad(tips, ((0, 0), (0, S_pad - S), (0, 0)))
+                  if S_pad != S else tips)
+        up = up.at[: tree.n_taxa].set(tips_f[:, None, :, :])
+        usc8 = usc8.at[: tree.n_taxa].set(0.0)
+        trans_bar = fused_downward_tbar(
+            steps, n_slots, trans, tips, up, usc8, model.state_freq,
+            model.props, lnl_raw, w_p.astype(up.dtype),
+        )
+    else:
+        trans_bar = _downward_trans_bar(
+            tree, trans, mb, msc, up, up_scale, model.props,
+            model.state_freq, lnl_raw, w_p,
+        )[: tree.n_slots]
 
     # pull trans_bar back through P(t) construction -> blen + eigen + rates
     def trans_fn(model_, blen_):

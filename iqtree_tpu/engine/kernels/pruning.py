@@ -94,7 +94,7 @@ def _kernel(steps_ref, tips_ref, trans_ref, rootw_ref, invar_ref,
 
 
 def pick_tile(n_taxa: int, n_nodes: int, C: int, S: int, n_slots: int,
-              dtype, budget: int = 48 * 2**20) -> int:
+              dtype, budget: int = 48 * 2**20, extra_bytes: int = 0) -> int:
     """Largest pattern tile whose scoped-VMEM footprint fits the budget.
 
     Footprint model (validated against the Mosaic compiler's scoped
@@ -116,7 +116,8 @@ def pick_tile(n_taxa: int, n_nodes: int, C: int, S: int, n_slots: int,
         slots = n_slots * C * S_pad * tile * itemsize
         sstage = n_slots * 8 * tile * itemsize
         mstage = 4 * C * S_pad * tile * itemsize
-        total = 2 * trans_bytes + tips2 + slots + sstage + mstage + fudge
+        total = (2 * trans_bytes + tips2 + slots + sstage + mstage
+                 + extra_bytes + fudge)
         if total <= budget:
             return tile
     return 128
@@ -376,6 +377,7 @@ def fused_upward_store(
     interpret: bool = None,
     want_mailbox: bool = False,
     mb_rows: int = None,
+    want_scale8: bool = False,
 ):
     """Upward pass that stores every internal partial to HBM; under an
     active mesh it runs per-shard (shard_map over the pattern axis) and
@@ -392,7 +394,7 @@ def fused_upward_store(
             outs = _fused_upward_store_local(
                 steps_, trans_, tips_, n_slots=n_slots, tile=tile,
                 interpret=interpret, want_mailbox=want_mailbox,
-                mb_rows=mb_rows,
+                mb_rows=mb_rows, want_scale8=want_scale8,
             )
             P = tips_.shape[2]
             return tuple(o[..., :P] for o in outs)
@@ -405,6 +407,8 @@ def fused_upward_store(
             out_specs = out_specs + (
                 PS(None, None, None, None, PATTERN_AXIS),
             )
+        elif want_scale8:
+            out_specs = out_specs + (PS(None, None, PATTERN_AXIS),)
         f = jax.shard_map(
             local,
             mesh=mesh,
@@ -416,6 +420,7 @@ def fused_upward_store(
     return _fused_upward_store_local(
         steps, trans, tipsP, n_slots=n_slots, tile=tile,
         interpret=interpret, want_mailbox=want_mailbox, mb_rows=mb_rows,
+        want_scale8=want_scale8,
     )
 
 
@@ -429,6 +434,7 @@ def _fused_upward_store_local(
     interpret: bool = None,
     want_mailbox: bool = False,
     mb_rows: int = None,
+    want_scale8: bool = False,
 ):
     """(up [2N, C, S, P_pad], up_scale [2N, P_pad][, mb]) with
     internal-node partials computed in VMEM and streamed to HBM.  Tip
@@ -445,7 +451,17 @@ def _fused_upward_store_local(
         tile = pick_tile(tipsP.shape[0], trans.shape[0], trans.shape[1],
                          trans.shape[2], n_slots, trans.dtype)
     steps = steps.astype(jnp.int32)
-    n_taxa, S, P = tipsP.shape
+    n_taxa, S0, P = tipsP.shape
+    # Mosaic DMA slices must be sublane-aligned: S=20 (protein) slot
+    # subviews of the padded (...,24,...) scratch are rejected
+    # ("Slice shape along dimension 2 must be aligned to tiling (8)").
+    # Pad the state axis to a multiple of 8 with ZERO rows (zero trans
+    # rows/cols make the padded partial rows identically zero, which is
+    # inert under product/max/log-scale); S<=8 sub-tile slices are fine.
+    S = S0 if (S0 <= 8 or S0 % 8 == 0) else -(-S0 // 8) * 8
+    if S != S0:
+        trans = jnp.pad(trans, ((0, 0), (0, 0), (0, S - S0), (0, S - S0)))
+        tipsP = jnp.pad(tipsP, ((0, 0), (0, S - S0), (0, 0)))
     C = trans.shape[1]
     n_nodes = trans.shape[0]
     n_steps = steps.shape[0]
@@ -504,9 +520,310 @@ def _fused_upward_store_local(
     )(steps, tipsP, trans)
     if want_mailbox:
         _, up, usc, mb = outs
+        if S != S0:
+            up = up[:, :, :S0, :]
+            mb = mb[:, :, :, :S0, :]
         return up, usc[:, 0, :], mb
     _, up, usc = outs
+    if want_scale8:
+        # padded state rows kept (fused_downward_tbar consumes the same
+        # padded layout); the raw 8-sublane-replicated scale buffer goes
+        # with it for aligned DMA reads
+        return up, usc[:, 0, :], usc
+    if S != S0:
+        up = up[:, :, :S0, :]
     return up, usc[:, 0, :]
+
+
+def _kernel_down_tbar(steps_ref, trans_ref, rootd_ref, lnl_ref,
+                      wp_ref, up_hbm, usc_hbm, tbar_ref, dslots_ref,
+                      dscale_ref, ustage_ref, sstage_ref, usems, ssems, *,
+                      n_steps: int, tile: int):
+    """Reverse (outside) sweep fused with per-edge transition-matrix
+    cotangents, entirely in VMEM (the Pallas analogue of
+    grad._downward_trans_bar).
+
+    The reverse slot schedule is the forward one mirrored: at reverse
+    step i the node's outside message D lives in the slot its inside
+    partial occupied in the forward pass (freed exactly when its
+    children's D's are produced), so the SAME slot count suffices.
+    Child inside-partials stream back from the HBM `up` buffer (tip rows
+    pre-filled by the caller, so every child read is uniform — no tips
+    block in VMEM, which frees ~32MB and doubles the viable tile).
+    Reads are DOUBLE-BUFFERED: step j+1's children are prefetched while
+    step j computes, hiding the DMA latency that dominates at small
+    tiles.  The [2N,C,S,S] cotangent accumulator is VMEM-resident across
+    pattern tiles (constant-index output block): zeroed at tile 0,
+    accumulated +=."""
+    C = trans_ref.shape[1]
+    S = trans_ref.shape[2]
+    f32 = tbar_ref.dtype
+    i_tile = pl.program_id(0)
+
+    @pl.when(i_tile == 0)
+    def _zero():
+        tbar_ref[...] = jnp.zeros(tbar_ref.shape, tbar_ref.dtype)
+
+    lnl = lnl_ref[0, :]  # [tile] raw per-pattern lnl
+    wp = wp_ref[0, :]  # [tile] cotangent pattern weights
+
+    def copies(k, c_node):
+        c1 = pltpu.make_async_copy(
+            up_hbm.at[c_node, :, :, pl.ds(i_tile * tile, tile)],
+            ustage_ref.at[k], usems.at[k],
+        )
+        c2 = pltpu.make_async_copy(
+            usc_hbm.at[c_node, :, pl.ds(i_tile * tile, tile)],
+            sstage_ref.at[k], ssems.at[k],
+        )
+        return c1, c2
+
+    def fetch(k, c_node):
+        c1, c2 = copies(k, c_node)
+        c1.start()
+        c2.start()
+
+    def await_(k):
+        # wait() only consumes the semaphore + size; the source row used
+        # to rebuild the descriptor is immaterial
+        c1, c2 = copies(k, jnp.int32(0))
+        c1.wait()
+        c2.wait()
+
+    def do_step(i, k0: int, k1: int):
+        """One reverse step consuming stages (k0,k1) — PYTHON-STATIC
+        stage indices: any dynamic (or cond-selected) stage view lowers
+        to a strided dynamic memref slice Mosaic rejects when S is not a
+        sublane multiple (S=20 protein)."""
+        kn = k0 ^ 2  # the other double-buffer pair
+
+        @pl.when(i - 1 >= 0)
+        def _prefetch():
+            fetch(jnp.int32(kn), steps_ref[i - 1, 0])
+            fetch(jnp.int32(kn + 1), steps_ref[i - 1, 1])
+
+        l = steps_ref[i, 0]
+        r = steps_ref[i, 1]
+        ls = steps_ref[i, 2]
+        rs = steps_ref[i, 3]
+        out_slot = steps_ref[i, 4]
+
+        def root_case(_):
+            d = jnp.broadcast_to(rootd_ref[...][:, :, None], (C, S, tile))
+            return d.astype(f32), jnp.zeros((tile,), f32)
+
+        def slot_case(_):
+            s = jnp.maximum(out_slot, 0)
+            return dslots_ref[s], dscale_ref[s]
+
+        d, dsc = jax.lax.cond(i == n_steps - 1, root_case, slot_case, None)
+
+        await_(jnp.int32(k0))
+        await_(jnp.int32(k1))
+        u_l, s_l = ustage_ref[k0], sstage_ref[k0, 0, :]
+        u_r, s_r = ustage_ref[k1], sstage_ref[k1, 0, :]
+
+        def msg(c_node, u):
+            return jax.lax.dot_general(
+                trans_ref[c_node], u,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        m_l = msg(l, u_l)
+        m_r = msg(r, u_r)
+
+        def side(c_node, c_slot, u_c, s_c, m_sib, s_sib):
+            y = d * m_sib  # unnormalized O_child [C,S,tile]
+            mx = jnp.maximum(jnp.max(y, axis=(0, 1)), SCALE_TINY)
+            o = y / mx[None, None, :]
+            osc = dsc + s_sib + jnp.log(mx)
+            fac = jnp.exp(
+                jnp.minimum(osc + s_c - lnl, 80.0)
+            ) * wp  # [tile]
+            # tbar[c,s,t] += sum_p O[c,s,p] fac[p] U[c,t,p]
+            # (the [2N,C,S,S] VMEM accumulator pads its trailing (S,S)
+            # dims to the (8,128) vector tile — which the tile picker
+            # accounts for; flattening to [C,S*S] would dodge that but
+            # Mosaic cannot shape-cast in VMEM)
+            tb = jax.lax.dot_general(
+                o * fac[None, None, :], u_c,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [C, S, T]
+            tbar_ref[c_node] = tbar_ref[c_node] + tb
+
+            # transport D through the child edge (internal children only)
+            @pl.when(c_slot >= 0)
+            def _push():
+                dd = jax.lax.dot_general(
+                    trans_ref[c_node], o,
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [C, T, tile]
+                s = jnp.maximum(c_slot, 0)
+                dslots_ref[s] = dd
+                dscale_ref[s] = osc
+
+        side(l, ls, u_l, s_l, m_r, s_r)
+        side(r, rs, u_r, s_r, m_l, s_l)
+
+    # prologue: prefetch the first (reverse) step's children, then
+    # process steps TWO AT A TIME, even half on stages (0,1), odd half
+    # on (2,3) — every fetch is awaited exactly once, so no final drain
+    fetch(jnp.int32(0), steps_ref[n_steps - 1, 0])
+    fetch(jnp.int32(1), steps_ref[n_steps - 1, 1])
+
+    def pair(j2, _):
+        i = n_steps - 1 - 2 * j2
+        do_step(i, 0, 1)
+
+        @pl.when(i - 1 >= 0)
+        def _odd():
+            do_step(i - 1, 2, 3)
+
+        return 0
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32((n_steps + 1) // 2), pair, 0)
+
+
+def fused_downward_tbar(
+    steps: jnp.ndarray,
+    n_slots: int,
+    trans: jnp.ndarray,  # [2N, C, S, S]
+    tipsP: jnp.ndarray,  # [N, S, P*] (tile-padded on the fast path)
+    up: jnp.ndarray,  # [2N, C, S, P*] from fused_upward_store
+    usc8: jnp.ndarray,  # [2N, 8, P*] 8-replicated scales
+    state_freq: jnp.ndarray,  # [C, S]
+    props: jnp.ndarray,  # [C]
+    lnl_raw: jnp.ndarray,  # [P*] raw per-pattern lnl
+    w_p: jnp.ndarray,  # [P*] cotangent weights (0 on padding)
+    tile: int = None,
+    interpret: bool = None,
+) -> jnp.ndarray:
+    """[2N, C, S, S] transition-matrix cotangents via one fused reverse
+    sweep (props folded in).  Under an active mesh the sweep runs
+    per-shard and the accumulators psum over the pattern axis (the
+    gradient reduction of SURVEY §2c P2)."""
+    from ...parallel import PATTERN_AXIS, get_mesh
+
+    mesh = get_mesh()
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as PS
+
+        def local(steps_, trans_, tips_, up_, usc8_, lnl_, wp_):
+            t = tile or pick_tile(
+                tips_.shape[0], trans_.shape[0], trans_.shape[1],
+                trans_.shape[2], n_slots, trans_.dtype,
+                extra_bytes=(trans_.shape[0] * trans_.shape[1] * 8 * 128
+                             * jnp.dtype(trans_.dtype).itemsize))
+            P = tips_.shape[2]
+            P_pad = ((P + t - 1) // t) * t
+            if P_pad != P:
+                d = P_pad - P
+                tips_ = jnp.pad(tips_, ((0, 0), (0, 0), (0, d)),
+                                constant_values=1.0)
+                up_ = jnp.pad(up_, ((0, 0), (0, 0), (0, 0), (0, d)))
+                usc8_ = jnp.pad(usc8_, ((0, 0), (0, 0), (0, d)))
+                lnl_ = jnp.pad(lnl_, (0, d))
+                wp_ = jnp.pad(wp_, (0, d))  # 0-weight: padding is inert
+            tb = _fused_downward_tbar_local(
+                steps_, trans_, tips_, up_, usc8_, state_freq, props,
+                lnl_, wp_, n_slots=n_slots, tile=t, interpret=interpret,
+            )
+            return jax.lax.psum(tb, PATTERN_AXIS)
+
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(PS(), PS(), PS(None, None, PATTERN_AXIS),
+                      PS(None, None, None, PATTERN_AXIS),
+                      PS(None, None, PATTERN_AXIS),
+                      PS(PATTERN_AXIS), PS(PATTERN_AXIS)),
+            out_specs=PS(),
+            check_vma=False,
+        )
+        return f(steps, trans, tipsP, up, usc8, lnl_raw, w_p)
+    return _fused_downward_tbar_local(
+        steps, trans, tipsP, up, usc8, state_freq, props, lnl_raw, w_p,
+        n_slots=n_slots, tile=tile, interpret=interpret,
+    )
+
+
+def _fused_downward_tbar_local(
+    steps, trans, tipsP, up, usc8, state_freq, props, lnl_raw, w_p, *,
+    n_slots: int, tile: int = None, interpret: bool = None,
+) -> jnp.ndarray:
+    """up must carry TIP ROWS FILLED (broadcast tip partials) and usc8
+    ZEROED tip rows — callers do this once per backward; all child reads
+    are then uniform HBM streams.  tipsP is only used for shape/padding
+    metadata."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    n_taxa, S0, _ = tipsP.shape
+    S = S0 if (S0 <= 8 or S0 % 8 == 0) else -(-S0 // 8) * 8
+    if S != S0:
+        # match the upward store's padded state axis (see
+        # _fused_upward_store_local); `up` already arrives padded
+        trans = jnp.pad(trans, ((0, 0), (0, 0), (0, S - S0), (0, S - S0)))
+        tipsP = jnp.pad(tipsP, ((0, 0), (0, S - S0), (0, 0)))
+        state_freq = jnp.pad(state_freq, ((0, 0), (0, S - S0)))
+    P_pad = up.shape[-1]
+    C = trans.shape[1]
+    n_nodes = trans.shape[0]
+    n_steps = steps.shape[0]
+    itemsize = jnp.dtype(trans.dtype).itemsize
+    if tile is None:
+        # no tips block in VMEM: the budget is trans (double-buffered) +
+        # the padded [2N,C,(8,128)] accumulator + slots/stages
+        S_pad = -(-S // 8) * 8
+        fixed = (2 * n_nodes * C * S * S + n_nodes * C * 8 * 128) * itemsize
+        tile = 128
+        for t in (2048, 1024, 512, 256):
+            var = ((n_slots + 6) * C * S_pad + n_slots + 4 * 8 + 4) * t * itemsize
+            if fixed + var + 4 * 2**20 <= 48 * 2**20 and P_pad % t == 0:
+                tile = t
+                break
+    steps = steps.astype(jnp.int32)
+    assert P_pad % tile == 0, "inputs must be tile-padded (upward store)"
+    dtype = trans.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P_pad // tile,),
+        in_specs=[
+            pl.BlockSpec(trans.shape,
+                         lambda i, steps: (i * 0, i * 0, i * 0, i * 0)),
+            pl.BlockSpec((C, S), lambda i, steps: (i * 0, i * 0)),
+            pl.BlockSpec((1, tile), lambda i, steps: (i * 0, i)),
+            pl.BlockSpec((1, tile), lambda i, steps: (i * 0, i)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # up
+            pl.BlockSpec(memory_space=pltpu.ANY),  # usc8
+        ],
+        out_specs=pl.BlockSpec(
+            (n_nodes, C, S, S),
+            lambda i, steps: (i * 0, i * 0, i * 0, i * 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, C, S, tile), dtype),
+            pltpu.VMEM((n_slots, tile), dtype),
+            pltpu.VMEM((4, C, S, tile), dtype),
+            pltpu.VMEM((4, 8, tile), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    tbar = pl.pallas_call(
+        functools.partial(_kernel_down_tbar, n_steps=n_steps, tile=tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_nodes, C, S, S), dtype),
+        interpret=interpret,
+    )(steps, trans, state_freq, lnl_raw[None, :], w_p[None, :], up, usc8)
+    if S != S0:
+        tbar = tbar[:, :, :S0, :S0]
+    return tbar * props[None, :, None, None]
 
 
 def device_slot_schedule(tree_host, tree_arrays) -> Tuple[np.ndarray, int]:

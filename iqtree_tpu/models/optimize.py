@@ -427,8 +427,18 @@ def fit_model_step(
     def negloglik(p):
         return -_lnl(opt.build(p)) / scale
 
+    # ftol: with the steepest-descent rescue in place (utils/lbfgs.py),
+    # two consecutive sub-0.005-lnL steps really mean convergence; this
+    # stops converged chunks from burning their full iteration budget.
+    # 8 backtracks suffice: the rescue catches what deeper halving
+    # would, at a fraction of the evals.
+    try:
+        ftol = 0.005 / float(np.asarray(site.pattern_freq).sum())
+    except (jax.errors.TracerArrayConversionError, TypeError):
+        ftol = 0.0
     p, val, st = lbfgs_minimize(
-        negloglik, params, max_iters=max_iters, init_state=lbfgs_state
+        negloglik, params, max_iters=max_iters, init_state=lbfgs_state,
+        ftol=ftol, max_backtracks=8,
     )
     if return_state:
         return p, -val * scale, st
@@ -553,8 +563,13 @@ def optimize_model_and_branches(
 
         def _bstep(t, p, st):
             ma = opt.build(p)
+            # NOTE: keep the tight default sweep tolerance (1e-5) —
+            # loosening it to the alternation tol made the sweeps stop
+            # while branches were still far from optimal after large
+            # model moves, stalling the whole alternation ~50 lnL short
             return optimize_all_branches(
-                t, ma, site, n_sweeps=B_CHUNK, steps=st, n_slots=n_slots,
+                t, ma, site, n_sweeps=B_CHUNK,
+                steps=st, n_slots=n_slots,
             )
 
         bstep = jax.jit(_bstep)

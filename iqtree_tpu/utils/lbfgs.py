@@ -66,6 +66,8 @@ def lbfgs_minimize(
     max_backtracks: int = 25,
     init_state=None,
     forward_grad: bool = False,
+    ftol: float = 0.0,
+    noise_tol: float = 0.0,
 ):
     """Minimize `fun(pytree) -> scalar`.  Returns (x, value, state); the
     state tuple (S, Y, rho, k) can be fed back via `init_state` to
@@ -77,6 +79,15 @@ def lbfgs_minimize(
     objectives whose program is forward-only (e.g. the site-specific
     engine's fori_loop pruning, which has no custom VJP) with few
     parameters.
+
+    ftol > 0 stops after TWO CONSECUTIVE accepted steps that each
+    improve the objective by less than ftol: near the optimum the
+    f32-scaled gradient never reaches grad_tol and every further
+    iteration burns a full line search for nothing (measured: the final
+    model chunk of the 1000-taxon bench spent 4.2s improving lnL by
+    4e-4).  A single small step is NOT convergence — L-BFGS routinely
+    takes one while (re)building curvature, and stopping there stalled
+    the bench fit ~35 lnL short of the optimum.
 
     Designed to be called inside jit; the whole optimization is one
     lax.while_loop."""
@@ -140,11 +151,11 @@ def lbfgs_minimize(
         return r
 
     def cond(st):
-        x, f, g, S, Y, rho, k, done = st
+        x, f, g, S, Y, rho, k, small, done = st
         return jnp.logical_and(k < k0 + max_iters, jnp.logical_not(done))
 
     def step(st):
-        x, f, g, S, Y, rho, k, done = st
+        x, f, g, S, Y, rho, k, small, done = st
         d = -direction(g, S, Y, rho, k)
         # ensure descent; fall back to steepest descent
         dg = jnp.dot(d, g)
@@ -178,6 +189,46 @@ def lbfgs_minimize(
         f1 = fun(unravel(x + t0 * d))
         t, f_new, _ = jax.lax.while_loop(bt_cond, bt_body, (t0, f1, 0))
         accepted = jnp.logical_not(fails(t, f_new))
+
+        # RESCUE: a failed line search along the quasi-Newton direction
+        # does not mean convergence — stale curvature (the outer loop
+        # moves branch lengths between chunks) plus the f32 forward's
+        # ~3e-6 relative noise floor can kill it while the true gradient
+        # is still large (measured stall 35 lnL short with |g|=0.37 and
+        # +31 lnL available along -g).  Retry a short backtracking search
+        # along RAW steepest descent from a curvature-free trial step.
+        gnorm = jnp.linalg.norm(g)
+
+        def rescue(_):
+            dg2 = -gnorm * gnorm
+
+            def fails2(t, fn):
+                return jnp.logical_or(jnp.isnan(fn),
+                                      fn > f + c1 * t * dg2)
+
+            def bt2_cond(s):
+                t, fn, j = s
+                return jnp.logical_and(j < 8, fails2(t, fn))
+
+            def bt2_body(s):
+                t, _, j = s
+                t = t * 0.5
+                return t, fun(unravel(x - t * g)), j + 1
+
+            tg0 = (0.5 / jnp.maximum(gnorm, 1e-12)).astype(dtype)
+            fg = fun(unravel(x - tg0 * g))
+            tg, fg, _ = jax.lax.while_loop(bt2_cond, bt2_body, (tg0, fg, 0))
+            ok = jnp.logical_not(fails2(tg, fg))
+            return ok, jnp.where(ok, -tg, 0.0), jnp.where(ok, fg, f)
+
+        def no_rescue(_):
+            return jnp.asarray(True), t, f_new
+
+        accepted, t_eff, f_new = jax.lax.cond(
+            accepted, no_rescue, rescue, None
+        )
+        d = jnp.where(t_eff < 0, -g, d)
+        t = jnp.abs(t_eff)
         x_new = jnp.where(accepted, x + t * d, x)
         f_val, g_new = vg(x_new)
         s_vec = x_new - x
@@ -192,9 +243,17 @@ def lbfgs_minimize(
         done = jnp.logical_or(
             gnorm < grad_tol, jnp.logical_not(accepted)
         )
-        return x_new, f_val, g_new, S, Y, rho, k + 1, done
+        if ftol > 0:
+            small_now = jnp.logical_and(accepted, f - f_val < ftol)
+            small_new = jnp.where(small_now, small + 1, 0)
+            done = jnp.logical_or(done, small_new >= 2)
+        else:
+            small_new = small
+        return x_new, f_val, g_new, S, Y, rho, k + 1, small_new, done
 
-    x, f, g, S, Y, rho, k, done = jax.lax.while_loop(
-        cond, step, (x0_vec, f0, g0, S, Y, rho, k0, jnp.asarray(False))
+    x, f, g, S, Y, rho, k, _, done = jax.lax.while_loop(
+        cond, step,
+        (x0_vec, f0, g0, S, Y, rho, k0, jnp.asarray(0),
+         jnp.asarray(False)),
     )
     return unravel(x), f, (S, Y, rho, k)
