@@ -82,10 +82,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     # OpenMP thread count maps to the `sites` mesh axis, SURVEY.md §2c).
     # 0 = all visible devices; a 1-device mesh stays on the fast
     # unsharded path.
+    from . import parallel
+
+    if parallel.init_multihost():
+        # multi-host pod slice (SURVEY §2c P6): global mesh over every
+        # process's devices; lnL psum rides ICI in-slice, DCN across
+        log(f"Multi-host run: process {jax.process_index()} of "
+            f"{jax.process_count()}")
     n_dev = cfg.n_threads if cfg.n_threads > 0 else len(jax.devices())
     if n_dev > 1:
-        from . import parallel
-
         mesh = parallel.make_mesh(min(n_dev, len(jax.devices())))
         parallel.set_mesh(mesh)
         log(f"Pattern-axis sharding over {mesh.size} devices")

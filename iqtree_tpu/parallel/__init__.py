@@ -29,6 +29,12 @@ from .mesh import (  # noqa: F401
     set_mesh,
     use_mesh,
 )
+from .multihost import (  # noqa: F401
+    broadcast_host_data,
+    init_multihost,
+    is_multihost,
+    sync_global_flag,
+)
 from .sharding import (  # noqa: F401
     pad_patterns,
     pattern_sharding,

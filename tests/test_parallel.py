@@ -106,3 +106,22 @@ def test_pad_patterns_inert(setup):
     site_p = parallel.pad_patterns(site, 64)
     lnl2, _ = jax.jit(compute_loglik)(ta, ma, site_p)
     assert float(lnl2) == pytest.approx(float(lnl1), rel=1e-8)
+
+
+def test_multihost_helpers_single_process():
+    """Multi-host utilities must be safe no-ops in single-process runs
+    (the real multi-process path needs a pod slice; SURVEY §2c P6)."""
+    from iqtree_tpu.parallel import (
+        broadcast_host_data,
+        init_multihost,
+        is_multihost,
+        sync_global_flag,
+    )
+
+    # no coordinator configured anywhere -> stays single-process
+    assert init_multihost() is False
+    assert is_multihost() is False
+    data = {"tree": "(a,b);", "lnl": -123.4}
+    assert broadcast_host_data(data) == data
+    assert sync_global_flag(True) is True
+    assert sync_global_flag(False) is False
