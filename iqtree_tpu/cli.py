@@ -213,6 +213,24 @@ def main(argv: Optional[List[str]] = None) -> int:
         _finish(prefix, log_lines, t0, log)
         return 0
 
+    # remove identical sequences for plain searches (reference default,
+    # PhyloTree::removeIdenticalSeqs, phyloanalysis.cpp:2545); they are
+    # re-inserted next to their twins in the output tree.  Kept with
+    # -keep-ident, fixed topologies, site models, or bootstrap/branch
+    # tests (supports must cover all taxa).
+    ident_pairs = []
+    orig_aln = aln
+    if (not cfg.keep_identical and not cfg.fix_topology
+            and not cfg.site_freq_file and cfg.ufboot == 0
+            and cfg.std_bootstrap == 0 and cfg.alrt == 0):
+        keep, ident_pairs = aln.identical_groups()
+        if ident_pairs:
+            log(f"NOTE: {len(ident_pairs)} identical sequences will be "
+                "ignored during the analysis and re-inserted at the end")
+            for r, t in ident_pairs:
+                log(f"NOTE: {r} (identical to {t}) is ignored")
+            aln = aln.subset_taxa(keep)
+
     from .models.factory import default_model, parse_model_string
 
     model_str = cfg.model or default_model(aln)
@@ -389,8 +407,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         }
     elif alrt_labels is not None:
         support = alrt_labels
+    out_nwk = tree.to_newick(aln.names, support=support)
+    if ident_pairs:
+        out_nwk = _graft_identical(out_nwk, ident_pairs)
     with open(prefix + ".treefile", "w") as f:
-        f.write(tree.to_newick(aln.names, support=support) + "\n")
+        f.write(out_nwk + "\n")
     from .io.report import write_report, write_site_lnl
 
     write_report(
@@ -472,6 +493,29 @@ def main(argv: Optional[List[str]] = None) -> int:
     ckp.dump(force=True)
     _finish(prefix, log_lines, t0, log)
     return 0
+
+
+def _graft_identical(nwk: str, pairs) -> str:
+    """Re-insert removed duplicate taxa next to their twins in a newick
+    string (PhyloTree::reinsertIdenticalSeqs, phylotree.cpp:4344): the
+    twin leaf "T:len" becomes "(T:0,R:0):len"."""
+    import re as _re
+
+    for removed, twin in pairs:
+        pat = _re.compile(
+            r"([(,])" + _re.escape(twin) + r":([0-9eE.+-]+)"
+        )
+        m = pat.search(nwk)
+        if m:
+            nwk = (nwk[: m.start()] + m.group(1) + "(" + twin + ":0,"
+                   + removed + ":0):" + m.group(2) + nwk[m.end():])
+        else:  # twin itself was grafted already: attach to its 0-edge
+            pat2 = _re.compile(r"([(,])" + _re.escape(twin) + r":0")
+            m2 = pat2.search(nwk)
+            if m2:
+                nwk = (nwk[: m2.start()] + m2.group(1) + "(" + twin
+                       + ":0," + removed + ":0):0" + nwk[m2.end():])
+    return nwk
 
 
 def _run_utility(cfg, log) -> int:

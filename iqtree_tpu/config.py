@@ -31,6 +31,7 @@ class RunConfig:
     ckp_interval: float = 30.0  # -cptime seconds between checkpoint dumps
     min_correlation: float = 0.99  # -bcor UFBoot convergence correlation
     step_iterations: int = 100  # -nstep UFBoot correlation check interval
+    keep_identical: bool = False  # -keep-ident (keep duplicate sequences)
     seed: int = 1  # -seed
     n_iterations: Optional[int] = None  # -n (fixed)
     unsuccess_iteration: int = 100  # -nstop
@@ -146,6 +147,8 @@ def parse_args(argv) -> RunConfig:
                    help="min UFBoot split correlation for convergence")
     p.add_argument("-nstep", dest="nstep", type=int, default=100,
                    help="UFBoot correlation check interval")
+    p.add_argument("-keep-ident", dest="keep_ident", action="store_true",
+                   help="keep identical sequences during the analysis")
     p.add_argument("-n", dest="n_iterations", type=int, default=None,
                    help="fixed number of search iterations")
     p.add_argument("-nstop", dest="unsuccess", type=int, default=100)
@@ -307,6 +310,7 @@ def parse_args(argv) -> RunConfig:
         ckp_interval=a.cptime,
         min_correlation=a.bcor,
         step_iterations=a.nstep,
+        keep_identical=a.keep_ident,
         seed=a.seed,
         n_iterations=a.n_iterations,
         unsuccess_iteration=a.unsuccess,

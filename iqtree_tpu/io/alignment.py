@@ -399,6 +399,43 @@ class Alignment:
             states=states,
         )
 
+    def identical_groups(self):
+        """Duplicate-sequence detection (Alignment::removeIdenticalSeq,
+        /root/reference/alignment.cpp; driver hook
+        PhyloTree::removeIdenticalSeqs, phylotree.cpp:4326).
+
+        Returns (keep_idx [list of taxon indices to analyse],
+        removed_pairs [(removed_name, twin_name), ...]) where each
+        removed sequence is byte-identical to its (first-seen) twin."""
+        seen = {}
+        keep = []
+        pairs = []
+        for i in range(self.n_taxa):
+            key = self.patterns[i].tobytes()
+            j = seen.get(key)
+            if j is None:
+                seen[key] = i
+                keep.append(i)
+            else:
+                pairs.append((self.names[i], self.names[j]))
+        return keep, pairs
+
+    def subset_taxa(self, keep) -> "Alignment":
+        """Alignment restricted to the given taxon indices (pattern
+        re-compression included: dropping rows can merge columns)."""
+        cols = self.patterns[np.ix_(keep, self.site_to_pattern)]
+        uniq, s2p, counts = np.unique(
+            np.ascontiguousarray(cols.T), axis=0,
+            return_inverse=True, return_counts=True,
+        )
+        return Alignment(
+            names=[self.names[i] for i in keep],
+            patterns=np.ascontiguousarray(uniq.T).astype(np.int32),
+            pattern_freq=counts.astype(np.float64),
+            site_to_pattern=s2p.astype(np.int32),
+            states=self.states,
+        )
+
     @classmethod
     def concatenate(cls, parts: List["Alignment"]) -> "Alignment":
         """Concatenate alignments over the same taxon set at the pattern

@@ -169,3 +169,35 @@ def test_branch_stats_and_scale(tmp_path):
                             log=lambda s: None)
     t2, _ = read_trees(str(tmp_path / "sc.scaled.treefile"))
     assert abs(t2[0].blen.sum() - 3.0 * t.blen.sum()) < 1e-6
+
+
+def test_identical_groups_and_subset():
+    """Duplicate-sequence removal (PhyloTree::removeIdenticalSeqs,
+    phylotree.cpp:4326) + regraft string surgery."""
+    import numpy as np
+
+    from iqtree_tpu.cli import _graft_identical
+    from iqtree_tpu.io.alignment import Alignment
+
+    rng = np.random.default_rng(0)
+    seqs = ["".join(rng.choice(list("ACGT"), 30)) for _ in range(5)]
+    seqs += [seqs[1], seqs[1], seqs[3]]
+    names = [f"t{i}" for i in range(5)] + ["d1", "d2", "d3"]
+    aln = Alignment.from_sequences(names, seqs, "DNA")
+    keep, pairs = aln.identical_groups()
+    assert [aln.names[i] for i in keep] == [f"t{i}" for i in range(5)]
+    assert pairs == [("d1", "t1"), ("d2", "t1"), ("d3", "t3")]
+    red = aln.subset_taxa(keep)
+    assert red.n_taxa == 5 and red.n_sites == 30
+    # grafting: every removed taxon attaches next to its twin with 0 blen
+    nwk = "(t0:0.1,(t1:0.2,t3:0.3):0.05,t2:0.4,t4:0.5);"
+    out = _graft_identical(nwk, pairs)
+    assert "d1:0" in out and "d2:0" in out and "d3:0" in out
+    from iqtree_tpu.analysis.treeutils import read_trees
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.nwk")
+        open(p, "w").write(out + "\n")
+        (t,), nm = read_trees(p)
+        assert sorted(nm) == sorted(names)
