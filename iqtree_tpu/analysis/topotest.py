@@ -1,0 +1,442 @@
+"""User-tree set evaluation and topology tests (-z / -zb / -zw / -au).
+
+Re-expresses the reference's evaluateTrees + RELL topology-test battery
+(/root/reference/phylotesting.cpp:2053-2455, performAUTest :1916-2050)
+as array programs:
+
+  * every distinct user tree is branch-length-optimized on device with
+    the batched Newton engine (the reference runs optimizeAllBranches
+    per tree, phylotesting.cpp:2169);
+  * the RELL score matrix  tree_lhs[T, B] = pattern_lhs[T, P] @
+    boot_freqs[P, B]  is ONE matmul (the reference's per-tree,
+    per-replicate dot-product loops, phylotesting.cpp:2201-2207);
+  * bp-RELL / KH / SH / WKH / WSH / ELW are vectorized reductions over
+    that matrix (phylotesting.cpp:2218-2418 semantics, including the
+    reference's tie-breaking and centering conventions);
+  * the AU test's 10-scale bootstrap (performAUTest) is 10 more matmuls
+    + argmax, then a tiny host-side weighted-least-squares + MLE fit of
+    (d, c) per tree (Shimodaira 2002, Eq. 11).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+AU_SCALES = np.array([0.5, 0.6, 0.7, 0.8, 0.9, 1.0, 1.1, 1.2, 1.3, 1.4])
+
+
+@dataclass
+class TreeInfo:
+    """Per-tree test results (reference TreeInfo, phylotesting.h:82)."""
+
+    logl: float = 0.0
+    rell_bp: float = 0.0
+    rell_confident: bool = False
+    kh_pvalue: float = 0.0
+    sh_pvalue: float = 0.0
+    wkh_pvalue: float = 0.0
+    wsh_pvalue: float = 0.0
+    elw_value: float = 0.0
+    elw_confident: bool = False
+    au_pvalue: float = 0.0
+
+
+@dataclass
+class TopoTestResult:
+    info: List[TreeInfo]
+    distinct_ids: List[int]  # -1 = distinct; else index of identical tree
+    trees_nwk: List[str]  # optimized trees (distinct only), with lnL
+    replicates: int = 0
+    weighted: bool = False
+    au: bool = False
+
+
+def read_distinct_trees(path: str, names: List[str]):
+    """Parse a multi-Newick file and drop duplicate topologies.
+
+    Returns (trees, distinct_ids): `trees` holds one PhyloTree per
+    DISTINCT topology in file order; distinct_ids[i] is -1 for the first
+    occurrence and the 0-based index of the earlier identical tree
+    otherwise (countDistinctTrees, phylotesting.cpp:1754-1830)."""
+    from ..trees.tree import PhyloTree
+
+    text = open(path).read()
+    newicks = [s.strip() + ";" for s in text.split(";") if s.strip()]
+    trees: List[PhyloTree] = []
+    distinct_ids: List[int] = []
+    seen = {}
+    for nwk in newicks:
+        t = PhyloTree.from_newick(nwk, names)
+        key = t.splits_key()
+        if key in seen:
+            distinct_ids.append(seen[key])
+        else:
+            seen[key] = len(distinct_ids)
+            distinct_ids.append(-1)
+            trees.append(t)
+    return trees, distinct_ids
+
+
+def evaluate_tree_set(
+    trees,
+    aln,
+    subst,
+    rate,
+    dtype,
+    fix_branch_lengths: bool = False,
+    log=print,
+):
+    """Optimize branch lengths of each tree under the FIXED fitted model
+    and return (logls [T], pattern_lhs [T, P], optimized trees).
+
+    Matches evaluateTrees' per-tree loop (phylotesting.cpp:2140-2209):
+    fixNegativeBranch + optimizeAllBranches(100, 0.001) unless -blfix.
+    All trees share array shapes, so one compiled executable serves the
+    whole set."""
+    import jax
+
+    from ..engine.derivatives import optimize_all_branches
+    from ..engine.grad import loglik
+    from ..engine.likelihood import SiteData, TreeArrays
+    from ..models.optimize import ModelOptimizer
+
+    opt = ModelOptimizer(subst, rate, dtype=dtype)
+    ma = jax.jit(opt.build)(opt.init_params())
+    site = SiteData.from_alignment(aln, dtype, asc=getattr(subst, "asc", False))
+
+    opt_fn = jax.jit(
+        lambda ta: optimize_all_branches(ta, ma, site, n_sweeps=100, tol=0.001)
+    )
+    lnl_fn = jax.jit(lambda ta: loglik(ta, ma, site))
+
+    logls = []
+    pattern_lhs = []
+    out_trees = []
+    for i, t in enumerate(trees):
+        ta = TreeArrays.from_tree(t, dtype)
+        if not fix_branch_lengths:
+            ta, _ = opt_fn(ta)
+        lnl, pat = lnl_fn(ta)
+        t2 = t.copy()
+        t2.blen = ta.host_blen()
+        logls.append(float(lnl))
+        pattern_lhs.append(np.asarray(pat, dtype=np.float64)[: aln.n_patterns])
+        out_trees.append(t2)
+        log(f"Tree {i + 1} / LogL: {float(lnl):.3f}")
+    return np.array(logls), np.stack(pattern_lhs), out_trees
+
+
+def _rell_matrix(pattern_lhs: np.ndarray, boot_freqs: np.ndarray) -> np.ndarray:
+    """tree_lhs[T, B] = pattern_lhs[T, P] @ boot_freqs[B, P].T — the RELL
+    rescoring of every tree against every replicate as one contraction
+    (vs the reference's nested loops, phylotesting.cpp:2201-2207)."""
+    return pattern_lhs @ boot_freqs.T
+
+
+def topology_tests(
+    pattern_lhs: np.ndarray,  # [T, P] per-pattern lnL of each tree
+    logls: np.ndarray,  # [T] optimized log-likelihoods
+    pattern_freq: np.ndarray,  # [P]
+    n_sites: int,
+    replicates: int,
+    rng: np.random.Generator,
+    weighted: bool = False,
+    au: bool = False,
+    ufboot_eps: float = 0.5,
+) -> List[TreeInfo]:
+    """The full -zb battery on a precomputed site-lnL matrix."""
+    T, P = pattern_lhs.shape
+    info = [TreeInfo(logl=float(l)) for l in logls]
+    if replicates <= 0 or T <= 1:
+        return info
+
+    probs = pattern_freq / pattern_freq.sum()
+    boot_freqs = rng.multinomial(n_sites, probs, size=replicates).astype(
+        np.float64
+    )  # [B, P]
+    tree_lhs = _rell_matrix(pattern_lhs, boot_freqs)  # [T, B]
+    B = replicates
+
+    # ---- RELL-BP (phylotesting.cpp:2218-2255) --------------------------
+    # ties within ufboot_eps split by reservoir sampling, exactly the
+    # reference's maxcount/random_double scheme
+    maxL = tree_lhs[0].copy()
+    maxtid = np.zeros(B, dtype=np.int64)
+    maxcount = np.ones(B, dtype=np.int64)
+    for tid in range(1, T):
+        row = tree_lhs[tid]
+        better = row > maxL + ufboot_eps
+        tie = (~better) & (row > maxL - ufboot_eps)
+        take_tie = tie & (rng.random(B) <= 1.0 / (maxcount + 1))
+        maxL = np.where(better, row, np.where(take_tie, np.maximum(maxL, row), maxL))
+        maxtid = np.where(better | take_tie, tid, maxtid)
+        maxcount = np.where(better, 1, np.where(take_tie, maxcount + 1, maxcount))
+    tree_probs = np.bincount(maxtid, minlength=T) / B
+    for tid in range(T):
+        info[tid].rell_bp = float(tree_probs[tid])
+    _mark_confidence(info, tree_probs, "rell_confident")
+
+    # ---- KH + SH (centered RELL; phylotesting.cpp:2267-2321) -----------
+    avg_lh = tree_lhs.mean(axis=1)  # [T]
+    centered = tree_lhs - avg_lh[:, None]  # [T, B]
+    max_lh = centered.max(axis=0)  # [B]
+    orig_max_id = int(np.argmax(logls))  # first max, like the :2289 scan
+    masked = logls.copy()
+    masked[orig_max_id] = -np.inf
+    orig_2ndmax_id = int(np.argmax(masked))
+    for tid in range(T):
+        max_id = orig_max_id if tid != orig_max_id else orig_2ndmax_id
+        orig_diff = logls[max_id] - logls[tid] - avg_lh[tid]
+        info[tid].sh_pvalue = float(
+            np.mean(max_lh - tree_lhs[tid] > orig_diff)
+        )
+        info[tid].kh_pvalue = float(
+            np.mean(centered[max_id] - tree_lhs[tid] > orig_diff)
+        )
+
+    # ---- weighted KH / SH (-zw; phylotesting.cpp:2323-2370) ------------
+    if weighted:
+        # pairwise per-site lnL-difference variances -> weights
+        # (computeLogLDiffVariance, phylotree.cpp:1390-1416)
+        w_f = pattern_freq.astype(np.float64)
+        wts = np.zeros((T, T))
+        for t1 in range(T):
+            d = pattern_lhs[t1] - pattern_lhs  # [T, P]
+            mean_d = (d * w_f).sum(axis=1) / n_sites
+            var = ((d - mean_d[:, None]) ** 2 * w_f).sum(axis=1)
+            var *= n_sites / max(n_sites - 1.0, 1.0)
+            with np.errstate(divide="ignore"):
+                wts[t1] = 1.0 / np.sqrt(var)
+        np.fill_diagonal(wts, 0.0)
+        for tid in range(T):
+            others = [t2 for t2 in range(T) if t2 != tid]
+            wdiff0 = (logls[others] - logls[tid]) * wts[tid, others]
+            max_id = others[int(np.argmax(wdiff0))]
+            worig_diff = wdiff0.max()
+            # centered, weighted replicate differences [T-1, B]
+            wrep = (centered[others] - centered[tid][None, :]) * wts[
+                tid, others
+            ][:, None]
+            info[tid].wsh_pvalue = float(
+                np.mean(wrep.max(axis=0) > worig_diff)
+            )
+            wkh = centered[max_id] - centered[tid]
+            info[tid].wkh_pvalue = float(
+                np.mean(wkh > logls[max_id] - logls[tid])
+            )
+
+    # ---- ELW (phylotesting.cpp:2374-2417) ------------------------------
+    shifted = np.exp(tree_lhs - tree_lhs.max(axis=0, keepdims=True))
+    elw = (shifted / shifted.sum(axis=0, keepdims=True)).mean(axis=1)
+    for tid in range(T):
+        info[tid].elw_value = float(elw[tid])
+    _mark_confidence(info, elw, "elw_confident")
+
+    # ---- AU test (-au; performAUTest, phylotesting.cpp:1916-2050) ------
+    if au:
+        _au_test(info, pattern_lhs, probs, n_sites, B, rng)
+    return info
+
+
+def _mark_confidence(info, probs, attr, level: float = 0.95):
+    """Flag the smallest prob-ordered set exceeding `level`
+    (phylotesting.cpp:2248-2255)."""
+    order = np.argsort(probs)
+    prob_sum = 0.0
+    for tid in order[::-1]:
+        setattr(info[int(tid)], attr, True)
+        prob_sum += probs[tid]
+        if prob_sum > level:
+            break
+
+
+def _au_test(info, pattern_lhs, probs, n_sites, B, rng):
+    """Multiscale-bootstrap AU p-values (Shimodaira 2002); scales, WLS
+    start, and the (d, c) likelihood follow performAUTest
+    (phylotesting.cpp:1916-2050).  The (d, c) refinement MAXIMIZES the
+    binomial log-likelihood of the observed bp curve (the paper's MLE;
+    the reference's targetFunk hands +logL to a minimizer —
+    phylotesting.cpp:1882-1891 — so its "MLE" stays at the WLS start;
+    with the WLS initialization the numerical difference is small)."""
+    from scipy.optimize import minimize
+    from scipy.stats import norm
+
+    T = pattern_lhs.shape[0]
+    nscales = len(AU_SCALES)
+    rr = np.sqrt(AU_SCALES)
+    rr_inv = 1.0 / rr
+    bp = np.zeros((nscales, T))
+    for k, scale in enumerate(AU_SCALES):
+        n_k = int(round(n_sites * scale))
+        boot = rng.multinomial(n_k, probs, size=B).astype(np.float64)
+        lhs = _rell_matrix(pattern_lhs, boot)  # [T, B]
+        win = np.argmax(lhs, axis=0)
+        bp[k] = np.bincount(win, minlength=T) / B
+
+    nboot_inv = 1.0 / B
+    for tid in range(T):
+        this_bp = bp[:, tid]
+        bp_clip = np.clip(this_bp, nboot_inv, 1.0 - nboot_inv)
+        cc = norm.ppf(1.0 - bp_clip)
+        pdf = norm.pdf(norm.ppf(bp_clip))
+        w = pdf * pdf * B / (bp_clip * (1.0 - bp_clip))
+        # weighted least squares for cc ~ d*rr + c*rr_inv
+        # (doWeightedLeastSquare, phylotesting.cpp:1836-1852)
+        A2 = (w * rr * rr).sum()
+        B2 = (w * rr_inv * rr_inv).sum()
+        AB = (w * rr * rr_inv).sum()
+        AC = (w * rr * cc).sum()
+        BC = (w * rr_inv * cc).sum()
+        denom = AB * AB - A2 * B2
+        d0 = (BC * AB - AC * B2) / denom
+        c0 = (AC * AB - BC * A2) / denom
+
+        def neg_loglik(x):
+            cdf = np.clip(norm.cdf(x[0] * rr + x[1] * rr_inv), 1e-10, 1 - 1e-10)
+            return -(this_bp * np.log(1.0 - cdf)
+                     + (1.0 - this_bp) * np.log(cdf)).sum()
+
+        res = minimize(
+            neg_loglik,
+            np.clip([d0, c0], 1e-4, 100.0),
+            method="L-BFGS-B",
+            bounds=[(1e-4, 100.0)] * 2,
+        )
+        d, c = res.x
+        info[tid].au_pvalue = float(1.0 - norm.cdf(d - c))
+
+
+def report_section(result: TopoTestResult, prefix: str) -> str:
+    """The USER TREES block of the .iqtree report
+    (reportPhyloAnalysis, phyloanalysis.cpp:868-984)."""
+    info, ids = result.info, result.distinct_ids
+    L = ["USER TREES", "----------", ""]
+    L.append(f"See {prefix}.trees for trees with branch lengths.")
+    L.append("")
+    full = result.replicates > 0 and len(info) > 1
+    if full:
+        hdr = "Tree      logL    deltaL  bp-RELL    p-KH     p-SH    "
+        if result.weighted:
+            hdr += "p-WKH    p-WSH    "
+        hdr += "c-ELW"
+        if result.au:
+            hdr += "     p-AU"
+        L.append(hdr)
+        sep = "-" * 66
+        if result.weighted:
+            sep += "-" * 18
+        if result.au:
+            sep += "-" * 7
+        L.append(sep)
+    else:
+        L.append("Tree      logL    deltaL")
+        L.append("-------------------------")
+    maxL = max(i.logl for i in info)
+
+    def sig(p, conf=None):
+        mark = ("+" if conf else "-") if conf is not None else (
+            "-" if p < 0.05 else "+")
+        return f"{p:6.4g} {mark} "
+
+    tid = 0
+    for orig_id, dup in enumerate(ids):
+        if dup >= 0:
+            L.append(f"{orig_id + 1:3d}  = tree {dup + 1}")
+            continue
+        i = info[tid]
+        row = f"{orig_id + 1:3d} {i.logl:12.3f} {maxL - i.logl:7.3f}"
+        if full:
+            row += "  " + sig(i.rell_bp, i.rell_confident)
+            row += sig(i.kh_pvalue) + sig(i.sh_pvalue)
+            if result.weighted:
+                row += sig(i.wkh_pvalue) + sig(i.wsh_pvalue)
+            row += sig(i.elw_value, i.elw_confident)
+            if result.au:
+                row += sig(i.au_pvalue)
+        L.append(row)
+        tid += 1
+    L.append("")
+    if full:
+        L.append("deltaL  : logL difference from the maximal logl in the set.")
+        L.append("bp-RELL : bootstrap proportion using RELL method (Kishino et al. 1990).")
+        L.append("p-KH    : p-value of one sided Kishino-Hasegawa test (1989).")
+        L.append("p-SH    : p-value of Shimodaira-Hasegawa test (2000).")
+        if result.weighted:
+            L.append("p-WKH   : p-value of weighted KH test.")
+            L.append("p-WSH   : p-value of weighted SH test.")
+        L.append("c-ELW   : Expected Likelihood Weight (Strimmer & Rambaut 2002).")
+        if result.au:
+            L.append("p-AU    : p-value of approximately unbiased (AU) test (Shimodaira, 2002).")
+        L.append("")
+        L.append("Plus signs denote the 95% confidence sets.")
+        L.append("Minus signs denote significant exclusion.")
+        L.append(f"All tests performed {result.replicates} resamplings "
+                 "using the RELL method.")
+    return "\n".join(L)
+
+
+def run_topotest(
+    cfg,
+    aln,
+    subst,
+    rate,
+    dtype,
+    log=print,
+) -> TopoTestResult:
+    """End-to-end -z driver: read the tree set, optimize + score each
+    distinct tree, run the requested tests, write .trees / .treelh."""
+    log("")
+    log(f"Reading trees in {cfg.treeset_file} ...")
+    trees, distinct_ids = read_distinct_trees(cfg.treeset_file, aln.names)
+    n_total = len(distinct_ids)
+    if len(trees) < n_total:
+        log(f"WARNING: {n_total} trees detected but only {len(trees)} "
+            "distinct trees will be evaluated")
+    else:
+        log(f"{len(trees)} distinct trees detected")
+    logls, pattern_lhs, out_trees = evaluate_tree_set(
+        trees, aln, subst, rate, dtype,
+        fix_branch_lengths=cfg.fix_branch_lengths, log=log,
+    )
+    rng = np.random.default_rng(cfg.seed)
+    if cfg.topotest_replicates and len(trees) > 1:
+        log(f"Creating {cfg.topotest_replicates} bootstrap replicates...")
+        log("Performing RELL-BP, KH, SH"
+            + (", WKH, WSH" if cfg.do_weighted_test else "")
+            + ", ELW" + (", AU" if cfg.do_au_test else "") + " tests...")
+    info = topology_tests(
+        pattern_lhs, logls, aln.pattern_freq.astype(np.float64),
+        aln.n_sites, cfg.topotest_replicates, rng,
+        weighted=cfg.do_weighted_test, au=cfg.do_au_test,
+    )
+    trees_nwk = [
+        f"[ tree {i + 1} lh={logls[i]:.6f} ]" + t.to_newick(aln.names)
+        for i, t in enumerate(out_trees)
+    ]
+    prefix = cfg.out_prefix
+    with open(prefix + ".trees", "w") as f:
+        f.write("\n".join(trees_nwk) + "\n")
+    if cfg.print_tree_lh:
+        with open(prefix + ".treelh", "w") as f:
+            f.write("\n".join(f"{l:.6f}" for l in logls) + "\n")
+    if cfg.write_site_lnl:
+        # one Tree<i> row per evaluated tree (printSiteLh appending mode,
+        # phylotesting.cpp:202, evaluateTrees :2188-2191)
+        with open(prefix + ".sitelh", "w") as f:
+            f.write(f"{len(out_trees)} {aln.n_sites}\n")
+            for i in range(len(out_trees)):
+                row = pattern_lhs[i][aln.site_to_pattern]
+                f.write(f"Tree{i + 1}   "
+                        + " ".join(f"{x:.5f}" for x in row) + "\n")
+        cfg.write_site_lnl = False  # consumed here; skip the main dump
+    return TopoTestResult(
+        info=info,
+        distinct_ids=distinct_ids,
+        trees_nwk=trees_nwk,
+        replicates=cfg.topotest_replicates if len(trees) > 1 else 0,
+        weighted=cfg.do_weighted_test,
+        au=cfg.do_au_test,
+    )

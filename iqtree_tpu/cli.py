@@ -222,7 +222,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     orig_aln = aln
     if (not cfg.keep_identical and not cfg.fix_topology
             and not cfg.site_freq_file and cfg.ufboot == 0
-            and cfg.std_bootstrap == 0 and cfg.alrt == 0):
+            and cfg.std_bootstrap == 0 and cfg.alrt == 0
+            and cfg.lbp == 0 and not cfg.abayes and not cfg.alrt_parametric
+            and not cfg.treeset_file):
         keep, ident_pairs = aln.identical_groups()
         if ident_pairs:
             log(f"NOTE: {len(ident_pairs)} identical sequences will be "
@@ -238,8 +240,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     if cfg.model_test:
         from .search.model_select import run_model_selection
 
-        best, table = run_model_selection(aln, dtype=dtype, log=log)
-        log(f"Best-fit model: {best} chosen according to BIC")
+        best, table = run_model_selection(
+            aln, dtype=dtype, log=log,
+            criterion=cfg.model_test_criterion,
+            model_set=cfg.model_set, model_subset=cfg.model_subset,
+            freq_set=cfg.freq_set,
+        )
+        log(f"Best-fit model: {best} chosen according to "
+            f"{cfg.model_test_criterion}")
         model_str = best
         with open(prefix + ".model", "w") as f:
             f.write(table)
@@ -306,9 +314,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         log(f"  Bootstrap trees:               {prefix}.boottrees")
         log(f"  Consensus tree:                {prefix}.contree")
 
-    # ---- branch tests (-alrt, phylotree.cpp:4058 testAllBranches) ----
+    # ---- branch tests (-alrt/-lbp/-abayes; phylotree.cpp:4058
+    # testAllBranches — label order SH-aLRT/LBP/aLRT/aBayes :4078-4090) --
     alrt_labels = None
-    if cfg.alrt > 0:
+    if cfg.alrt > 0 or cfg.lbp > 0 or cfg.alrt_parametric or cfg.abayes:
         import jax
 
         from .engine.branch_tests import test_all_branches
@@ -316,7 +325,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         from .models.factory import parse_model_string
         from .models.optimize import ModelOptimizer
 
-        log(f"Testing branches with SH-aLRT ({cfg.alrt} replicates)...")
+        wanted = []
+        if cfg.alrt > 0:
+            wanted.append(f"SH-aLRT ({cfg.alrt} replicates)")
+        if cfg.lbp > 0:
+            wanted.append(f"local-BP ({cfg.lbp} replicates)")
+        if cfg.alrt_parametric:
+            wanted.append("parametric aLRT")
+        if cfg.abayes:
+            wanted.append("aBayes")
+        log(f"Testing branches with {', '.join(wanted)}...")
         subst2, rate2 = subst, rate
         opt2 = ModelOptimizer(subst2, rate2, dtype=dtype)
         ma2 = jax.jit(opt2.build)(opt2.init_params())
@@ -327,11 +345,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             pattern_lnl,
             lnl,
             aln.n_sites,
-            reps=cfg.alrt,
+            reps=max(cfg.alrt, cfg.lbp, 1000),
             rng=np.random.default_rng(cfg.seed),
             host_tree=tree,
         )
-        alrt_labels = bt.labels(sh=True, abayes=False)
+        alrt_labels = bt.labels(
+            sh=cfg.alrt > 0, lbp=cfg.lbp > 0,
+            alrt=cfg.alrt_parametric, abayes=cfg.abayes,
+        )
 
     # ---- WH-test (-m WHTEST; phyloanalysis.cpp:1886, whtest/) ---------
     whtest_section = None
@@ -379,6 +400,22 @@ def main(argv: Optional[List[str]] = None) -> int:
                         + "\t".join(f"{x:.6f}" for x in w) + "\n"
                     )
 
+    # ---- user-tree evaluation + topology tests (-z/-zb/-zw/-au) -------
+    # (evaluateTrees, phylotesting.cpp:2053; report section
+    # phyloanalysis.cpp:860-984)
+    topotest_section = None
+    if cfg.treeset_file:
+        from .analysis.topotest import report_section, run_topotest
+
+        if 0 < cfg.topotest_replicates < 1000:
+            log("ERROR: -zb requires at least 1000 replicates")
+            return 2
+        tt = run_topotest(cfg, aln, subst, rate, dtype, log=log)
+        topotest_section = report_section(tt, prefix)
+        log(f"  User trees (with lnL):         {prefix}.trees")
+        if cfg.print_tree_lh:
+            log(f"  User-tree log-likelihoods:     {prefix}.treelh")
+
     # ---- outputs -----------------------------------------------------
     support = None
     if ufboot is not None:
@@ -424,6 +461,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         command,
         time.time() - t0,
         iterations=iters,
+        extra_sections=[topotest_section] if topotest_section else None,
     )
     if cfg.write_site_lnl and pattern_lnl is not None:
         write_site_lnl(prefix + ".sitelh", aln, pattern_lnl)

@@ -24,6 +24,11 @@ class RunConfig:
     fix_topology: bool = False  # -te given
     fix_branch_lengths: bool = False  # -blfix / -fixbr
     site_freq_file: Optional[str] = None  # -fs (+SSF site-specific freqs)
+    treeset_file: Optional[str] = None  # -z user trees to evaluate/test
+    topotest_replicates: int = 0  # -zb RELL replicates for topology tests
+    do_weighted_test: bool = False  # -zw (WKH + WSH)
+    do_au_test: bool = False  # -au (approximately unbiased test)
+    print_tree_lh: bool = False  # -wtl (.treelh per user tree)
     outgroup: Optional[str] = None  # -o taxon[,taxon...] (display rooting)
     verbose: int = 0  # -v[v] verbosity ladder (VB_MED/VB_MAX, tools.h:323)
     write_boot_trees: bool = False  # -wbt (.ufboot only when asked, like ref)
@@ -51,7 +56,14 @@ class RunConfig:
     ufboot: int = 0  # -bb replicates
     std_bootstrap: int = 0  # -b replicates (standard, full re-analysis)
     alrt: int = 0  # -alrt replicates
+    alrt_parametric: bool = False  # -alrt 0 (parametric aLRT test)
+    abayes: bool = False  # -abayes
+    lbp: int = 0  # -lbp replicates (local bootstrap probability)
     model_test: bool = False  # -m TEST/TESTONLY
+    model_set: Optional[str] = None  # -mset raxml/phyml/mrbayes or list
+    model_subset: Optional[str] = None  # -msub nuclear/mitochondrial/...
+    freq_set: Optional[str] = None  # -mfreq restriction (e.g. "FU,F")
+    model_test_criterion: str = "BIC"  # -AIC/-AICc/-BIC
     model_test_only: bool = False
     model_test_merge: bool = False  # -m TESTMERGE[ONLY]
     whtest: bool = False  # -m WHTEST (Weiss-von Haeseler homogeneity test)
@@ -124,6 +136,18 @@ def parse_args(argv) -> RunConfig:
                    help="user tree file (fixed topology)")
     p.add_argument("-fs", dest="site_freq_file", default=None,
                    help="site-specific state-frequency file (+SSF model)")
+    p.add_argument("-z", dest="treeset_file", default=None,
+                   help="evaluate a set of user trees (topology tests "
+                        "with -zb)")
+    p.add_argument("-zb", dest="topotest_replicates", type=int, default=0,
+                   help="RELL replicates (>=1000) for KH/SH/ELW topology "
+                        "tests of the -z trees")
+    p.add_argument("-zw", dest="do_weighted_test", action="store_true",
+                   help="also perform weighted KH and SH tests")
+    p.add_argument("-au", dest="do_au_test", action="store_true",
+                   help="also perform the approximately unbiased (AU) test")
+    p.add_argument("-wtl", dest="print_tree_lh", action="store_true",
+                   help="write user-tree log-likelihoods to .treelh")
     p.add_argument("-blfix", "-fixbr", dest="fix_bl", action="store_true",
                    help="fix branch lengths of the user tree")
     p.add_argument("-seed", dest="seed", type=int, default=1)
@@ -176,8 +200,26 @@ def parse_args(argv) -> RunConfig:
                    help="ultrafast bootstrap replicates (>=1000)")
     p.add_argument("-b", dest="std_boot", type=int, default=0,
                    help="standard nonparametric bootstrap replicates")
-    p.add_argument("-alrt", dest="alrt", type=int, default=0,
-                   help="SH-aLRT replicates")
+    p.add_argument("-mset", dest="model_set", default=None,
+                   help="restrict -m TEST candidates: raxml/phyml/mrbayes "
+                        "or a comma-separated model list")
+    p.add_argument("-msub", dest="model_subset", default=None,
+                   help="AA source for -m TEST: nuclear/mitochondrial/"
+                        "chloroplast/viral")
+    p.add_argument("-mfreq", dest="freq_set", default=None,
+                   help="restrict frequency types in -m TEST (e.g. FU,F)")
+    p.add_argument("-AIC", dest="crit_aic", action="store_true",
+                   help="rank -m TEST models by AIC")
+    p.add_argument("-AICc", "-AICC", dest="crit_aicc", action="store_true",
+                   help="rank -m TEST models by AICc")
+    p.add_argument("-BIC", dest="crit_bic", action="store_true",
+                   help="rank -m TEST models by BIC (default)")
+    p.add_argument("-alrt", dest="alrt", type=int, default=None,
+                   help="SH-aLRT replicates (0 = parametric aLRT test)")
+    p.add_argument("-abayes", dest="abayes", action="store_true",
+                   help="aBayes branch test (Anisimova et al. 2011)")
+    p.add_argument("-lbp", dest="lbp", type=int, default=0,
+                   help="local bootstrap probability replicates")
     p.add_argument("-pers", dest="pers", type=float, default=0.5)
     p.add_argument("-iqp", dest="iqp", action="store_true",
                    help="IQP leaf re-insertion perturbation (iqtree.cpp:1939)")
@@ -303,6 +345,11 @@ def parse_args(argv) -> RunConfig:
         fix_topology=a.user_tree is not None,
         fix_branch_lengths=a.fix_bl,
         site_freq_file=a.site_freq_file,
+        treeset_file=a.treeset_file,
+        topotest_replicates=a.topotest_replicates,
+        do_weighted_test=a.do_weighted_test,
+        do_au_test=a.do_au_test,
+        print_tree_lh=a.print_tree_lh,
         outgroup=a.outgroup,
         verbose=a.verbose,
         write_boot_trees=a.wbt,
@@ -328,8 +375,16 @@ def parse_args(argv) -> RunConfig:
         quiet=a.quiet,
         ufboot=a.ufboot,
         std_bootstrap=a.std_boot,
-        alrt=a.alrt,
+        alrt=a.alrt if a.alrt else 0,
+        alrt_parametric=a.alrt == 0,  # -alrt 0 = parametric aLRT
+        abayes=a.abayes,
+        lbp=a.lbp,
         model_test=model_test,
+        model_set=a.model_set,
+        model_subset=a.model_subset,
+        freq_set=a.freq_set,
+        model_test_criterion=("AIC" if a.crit_aic
+                              else "AICC" if a.crit_aicc else "BIC"),
         model_test_only=model_test_only,
         model_test_merge=model_test_merge,
         whtest=whtest,

@@ -52,6 +52,60 @@ AA_TEST_MODELS = [
 BIN_TEST_MODELS = ["JC2", "GTR2"]
 RATE_CLASSES = ["", "+I", "+G4", "+I+G4"]
 
+# -mset named subsets (dna_model_names_old/_rax/_mrbayes,
+# aa_model_names_phyml/_rax/_mrbayes, phylotesting.cpp:53-80)
+DNA_MODEL_SETS = {
+    "PHYML": ["JC", "F81", "K80", "HKY", "TNE", "TN", "K81", "K81U", "TIME",
+              "TIM", "TVME", "TVM", "SYM", "GTR"],
+    "PARTITIONFINDER": ["JC", "F81", "K80", "HKY", "TNE", "TN", "K81",
+                        "K81U", "TIME", "TIM", "TVME", "TVM", "SYM", "GTR"],
+    "RAXML": ["GTR"],
+    "MRBAYES": ["JC", "F81", "K80", "HKY", "SYM", "GTR"],
+}
+AA_MODEL_SETS = {
+    "PHYML": ["DAYHOFF", "MTMAM", "JTT", "WAG", "CPREV", "MTREV", "RTREV",
+              "MTART", "VT", "LG", "DCMUT", "HIVB", "HIVW", "BLOSUM62"],
+    "PARTITIONFINDER": ["DAYHOFF", "MTMAM", "JTT", "WAG", "CPREV", "MTREV",
+                        "RTREV", "MTART", "VT", "LG", "DCMUT", "HIVB",
+                        "HIVW", "BLOSUM62"],
+    "RAXML": ["DAYHOFF", "MTMAM", "JTT", "WAG", "CPREV", "MTREV", "RTREV",
+              "MTART", "MTZOA", "PMB", "HIVB", "HIVW", "JTTDCMUT", "FLU",
+              "VT", "LG", "DCMUT", "BLOSUM62"],
+    "MRBAYES": ["POISSON", "DAYHOFF", "MTMAM", "JTT", "WAG", "CPREV",
+                "MTREV", "RTREV", "VT", "BLOSUM62"],
+}
+# -msub compartment subsets (aa_model_names_nuclear/..., :81-89)
+AA_MODEL_SUBSETS = {
+    "NUCLEAR": ["WAG", "DAYHOFF", "JTT", "LG", "VT", "DCMUT", "PMB",
+                "JTTDCMUT", "BLOSUM62"],
+    "MITOCHONDRIAL": ["MTREV", "MTMAM", "MTART", "MTZOA"],
+    "CHLOROPLAST": ["CPREV"],
+    "VIRAL": ["HIVB", "HIVW", "FLU", "RTREV"],
+}
+
+
+def candidate_models(seq_type, model_set=None, model_subset=None):
+    """Resolve -mset/-msub into the candidate model-name list
+    (getModelList dispatch, phylotesting.cpp:929-1010)."""
+    if seq_type == SEQ_DNA:
+        base = DNA_TEST_MODELS
+        if model_set:
+            key = model_set.upper()
+            base = DNA_MODEL_SETS.get(key) or [
+                m.strip().upper() for m in model_set.split(",")]
+        return list(base)
+    base = AA_TEST_MODELS
+    if model_set:
+        key = model_set.upper()
+        base = AA_MODEL_SETS.get(key) or [
+            m.strip().upper() for m in model_set.split(",")]
+    if model_subset:
+        allowed = AA_MODEL_SUBSETS.get(model_subset.upper())
+        if allowed is None:
+            raise ValueError(f"unknown -msub source: {model_subset}")
+        base = [m for m in base if m in allowed]
+    return list(base)
+
 
 def information_scores(lnl, df, ssize):
     """(AIC, AICc, BIC) — phylotesting.cpp:174-181."""
@@ -276,6 +330,9 @@ def run_model_selection(
     tree: Optional[PhyloTree] = None,
     rate_classes: Optional[List[str]] = None,
     return_details: bool = False,
+    model_set: Optional[str] = None,
+    model_subset: Optional[str] = None,
+    freq_set: Optional[str] = None,
 ) -> Tuple[str, str]:
     """Returns (best model string, report table); with return_details,
     (best, table, details) where details = dict(lnl, df, tree_len,
@@ -336,14 +393,24 @@ def run_model_selection(
         log(f"Testing rate class '{rc or 'uniform'}'...")
         if st == SEQ_DNA:
             fit_out, ndims, display = _fit_class_dna(
-                DNA_TEST_MODELS, aln, site, ta, dtype, has_gamma, has_invar,
-                max_pinv,
+                candidate_models(st, model_set), aln, site, ta, dtype,
+                has_gamma, has_invar, max_pinv,
             )
             handle_class(fit_out, ndims, display, rc, has_gamma, has_invar)
         elif st == SEQ_PROTEIN:
-            for plus_f in (False, True):
+            # -mfreq restricts the ±F sweep (aa_freq_names, :91)
+            plus_f_opts = (False, True)
+            if freq_set:
+                toks = {t.strip().lstrip("+").upper()
+                        for t in freq_set.split(",")}
+                plus_f_opts = tuple(
+                    pf for pf in (False, True)
+                    if (("F" in toks) if pf else bool(toks & {"", "FU"}))
+                ) or (False, True)
+            names = candidate_models(st, model_set, model_subset)
+            for plus_f in plus_f_opts:
                 fit_out, ndims, display = _fit_class_protein(
-                    AA_TEST_MODELS, aln, site, ta, dtype, has_gamma,
+                    names, aln, site, ta, dtype, has_gamma,
                     has_invar, max_pinv, plus_f,
                 )
                 handle_class(fit_out, ndims, display, rc, has_gamma, has_invar)
