@@ -70,6 +70,10 @@ def main():
     t_setup = time.time()
     import jax
 
+    from iqtree_tpu.utils.jaxcache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    sys.stderr.write(f"compilation cache: {cache_dir}\n")
     jax.config.update("jax_enable_x64", True)  # f64 lnL totals; arrays stay f32
     import jax.numpy as jnp
 

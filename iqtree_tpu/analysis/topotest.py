@@ -260,7 +260,13 @@ def _au_test(info, pattern_lhs, probs, n_sites, B, rng):
     binomial log-likelihood of the observed bp curve (the paper's MLE;
     the reference's targetFunk hands +logL to a minimizer —
     phylotesting.cpp:1882-1891 — so its "MLE" stays at the WLS start;
-    with the WLS initialization the numerical difference is small)."""
+    with the WLS initialization the numerical difference is small).
+
+    USER-FACING NOTE: because of that intentional fix, p-AU values do
+    not bit-match the reference binary — expect small differences (the
+    ranking and accept/reject calls at the usual 0.05 threshold agree on
+    all tested datasets).  Cross-validation against reference output
+    should compare p-AU with a tolerance, not equality."""
     from scipy.optimize import minimize
     from scipy.stats import norm
 

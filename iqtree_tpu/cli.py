@@ -58,6 +58,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     import jax
     import jax.numpy as jnp
 
+    from .utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     if cfg.f64:
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if cfg.f64 else jnp.float32
@@ -345,7 +348,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             pattern_lnl,
             lnl,
             aln.n_sites,
-            reps=max(cfg.alrt, cfg.lbp, 1000),
+            # 0 when only parametric aLRT/aBayes are wanted: the RELL
+            # resampling is skipped entirely (reference skips it too when
+            # reps == lbp_reps == 0, phylotree.cpp:4013)
+            reps=max(cfg.alrt, cfg.lbp),
             rng=np.random.default_rng(cfg.seed),
             host_tree=tree,
         )

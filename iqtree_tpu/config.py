@@ -300,6 +300,16 @@ def parse_args(argv) -> RunConfig:
     p.add_argument("-maxk", dest="pd_maxk", type=int, default=0)
     a = p.parse_args(argv)
 
+    # parse-time validation matching the reference's outError calls, so a
+    # flag mistake fails in milliseconds instead of after the tree search
+    if a.alrt is not None and 0 < a.alrt < 1000:
+        p.error("-alrt requires at least 1000 replicates "
+                "(or 0 for the parametric aLRT test)")  # tools.cpp:2158
+    if 0 < a.lbp < 1000:
+        p.error("-lbp requires at least 1000 replicates")  # tools.cpp:2182
+    if 0 < a.topotest_replicates < 1000:
+        p.error("-zb requires at least 1000 replicates")  # tools.cpp:1523
+
     model = a.model
     model_test = model_test_only = False
     model_test_merge = False

@@ -3,9 +3,9 @@
 Reference: PhyloTree::testOneBranch / testAllBranches
 (/root/reference/phylotree.cpp:3984,4058) — for every internal branch the
 two NNI alternatives are evaluated (5 local branches re-optimized), then:
-  * parametric aLRT: stat = 2(l0 - max(l1,l2)), support via the
-    1/2 chi2_1 + 1/2 chi2_2 mixture (PhyML's alrt.c table,
-    phylotree.cpp:3816 Statistics_To_Probabilities)
+  * parametric aLRT: stat = 2(l0 - max(l1,l2)); support by PhyML's
+    alrt.c table — interpolated chi2_1 CDF, then ((1+p)/2)^3
+    (phylotree.cpp:3816 Statistics_To_Probabilities)
   * aBayes: 1 / (1 + e^{l1-l0} + e^{l2-l0})
   * SH-aLRT / local BP: RELL resampling of the 3 site-lnl vectors
     (resampleLh :3796); SH counts replicates where
@@ -24,7 +24,6 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from scipy.stats import chi2
 
 from .likelihood import ModelArrays, SiteData, TreeArrays
 from .nni import evaluate_nnis
@@ -60,10 +59,29 @@ class BranchTestResult:
         return out
 
 
+# PhyML alrt.c lookup knots: chi2_1 quantiles (x) and their CDF values (f)
+# — reference Statistics_To_Probabilities, phylotree.cpp:3817-3980
+_ALRT_X = np.array([
+    0.000000393, 0.00000157, 0.0000393, 0.000157, 0.000982, 0.00393,
+    0.0158, 0.0642, 0.148, 0.275, 0.455, 0.708, 1.074, 1.642, 2.706,
+    3.841, 5.024, 6.635, 7.879, 10.828, 12.116,
+])
+_ALRT_F = np.array([
+    0.0005, 0.001, 0.005, 0.01, 0.025, 0.05, 0.1, 0.2, 0.3, 0.4, 0.5,
+    0.6, 0.7, 0.8, 0.9, 0.95, 0.975, 0.99, 0.995, 0.999, 0.9995,
+])
+
+
 def alrt_parametric_support(stat: np.ndarray) -> np.ndarray:
-    """Support from the 1/2 chi2_1 + 1/2 chi2_2 mixture (PhyML aLRT)."""
-    p = 0.5 * (chi2.sf(stat, 1) + chi2.sf(stat, 2))
-    return np.where(stat >= 0, 1.0 - p, 0.0)
+    """Parametric aLRT support, exactly the reference's PhyML table:
+    linearly interpolate the chi2_1 CDF at fixed knots, clamp to
+    [0.0001, 0.9999] outside, then p -> ((1+p)/2)^3
+    (Statistics_To_Probabilities, phylotree.cpp:3817-3980; e.g.
+    stat=3.841 -> 0.975^3 = 0.926859).  Negative statistics -> 0."""
+    stat = np.asarray(stat, dtype=float)
+    rough = np.interp(stat, _ALRT_X, _ALRT_F, left=0.0001, right=0.9999)
+    p = (1.0 + rough) / 2.0
+    return np.where(stat >= 0, p ** 3, 0.0)
 
 
 def test_all_branches(
@@ -105,6 +123,17 @@ def test_all_branches(
         1.0 + np.exp(np.clip(l12[:, 0] - l0, -700, 700))
         + np.exp(np.clip(l12[:, 1] - l0, -700, 700))
     )
+
+    if reps <= 0:
+        # only parametric tests requested: skip the RELL resampling
+        # (reference testOneBranch with reps == lbp_reps == 0)
+        return BranchTestResult(
+            edges=np.asarray(edges),
+            sh_alrt=np.zeros(E),
+            lbp=np.zeros(E),
+            alrt_parametric=alrt_param,
+            abayes=abayes,
+        )
 
     # RELL: one weight matrix for all branches (the reference draws a fresh
     # resample per branch; sharing them across branches is statistically

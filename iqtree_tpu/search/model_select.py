@@ -84,21 +84,41 @@ AA_MODEL_SUBSETS = {
 }
 
 
+def _mset_list(model_set, named_sets, known, kind):
+    """-mset resolution: a named set, or an explicit comma list whose
+    entries must all be known model names (the reference errors on
+    unknown input, phylotesting.cpp getModelList)."""
+    key = model_set.upper()
+    if key in named_sets:
+        return list(named_sets[key])
+    names = [m.strip().upper() for m in model_set.split(",")]
+    bad = [m for m in names if m not in known]
+    if bad:
+        raise ValueError(
+            f"unknown {kind} model(s) in -mset: {', '.join(bad)} "
+            f"(named sets: {', '.join(sorted(named_sets))})"
+        )
+    return names
+
+
 def candidate_models(seq_type, model_set=None, model_subset=None):
     """Resolve -mset/-msub into the candidate model-name list
     (getModelList dispatch, phylotesting.cpp:929-1010)."""
     if seq_type == SEQ_DNA:
+        if model_subset:
+            # the reference only defines -msub compartments for protein
+            raise ValueError("-msub is only valid for protein data")
         base = DNA_TEST_MODELS
         if model_set:
-            key = model_set.upper()
-            base = DNA_MODEL_SETS.get(key) or [
-                m.strip().upper() for m in model_set.split(",")]
+            from ..models.dna import DNA_MODELS
+
+            base = _mset_list(model_set, DNA_MODEL_SETS,
+                              set(DNA_MODELS) | set(DNA_TEST_MODELS), "DNA")
         return list(base)
     base = AA_TEST_MODELS
     if model_set:
-        key = model_set.upper()
-        base = AA_MODEL_SETS.get(key) or [
-            m.strip().upper() for m in model_set.split(",")]
+        base = _mset_list(model_set, AA_MODEL_SETS, set(AA_TEST_MODELS)
+                          | {"POISSON"}, "protein")
     if model_subset:
         allowed = AA_MODEL_SUBSETS.get(model_subset.upper())
         if allowed is None:
@@ -403,10 +423,20 @@ def run_model_selection(
             if freq_set:
                 toks = {t.strip().lstrip("+").upper()
                         for t in freq_set.split(",")}
+                bad = toks - {"", "F", "FU", "FC"}
+                if bad:
+                    # the reference errors on unknown -mfreq input
+                    raise ValueError(
+                        f"unknown -mfreq type(s): {', '.join(sorted(bad))} "
+                        "(valid for protein: FU, F)"
+                    )
                 plus_f_opts = tuple(
                     pf for pf in (False, True)
-                    if (("F" in toks) if pf else bool(toks & {"", "FU"}))
-                ) or (False, True)
+                    if (("F" in toks) if pf
+                        else bool(toks & {"", "FU", "FC"}))
+                )
+                if not plus_f_opts:
+                    raise ValueError("-mfreq selected no frequency types")
             names = candidate_models(st, model_set, model_subset)
             for plus_f in plus_f_opts:
                 fit_out, ndims, display = _fit_class_protein(
