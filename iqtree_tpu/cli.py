@@ -470,7 +470,45 @@ def main(argv: Optional[List[str]] = None) -> int:
         extra_sections=[topotest_section] if topotest_section else None,
     )
     if cfg.write_site_lnl and pattern_lnl is not None:
-        write_site_lnl(prefix + ".sitelh", aln, pattern_lnl)
+        if cfg.wsl_mode:
+            # -wslr/-wslm/-wslmr per-class columns
+            # (printSiteLhCategory, phylotesting.cpp:243)
+            import jax
+
+            from .engine.likelihood import (SiteData, TreeArrays,
+                                            pattern_lnl_categories)
+            from .io.report import write_site_lnl_category
+            from .models.mixture import MixtureModel
+            from .models.optimize import ModelOptimizer
+
+            mode = cfg.wsl_mode
+            is_mix = isinstance(subst, MixtureModel)
+            n_mix = subst.n_mix if is_mix else 1
+            if not is_mix and mode != "RATECAT":
+                log("WARNING: switch now to '-wslr' as it is the only "
+                    "option for non-mixture model")
+                mode = "RATECAT"
+            if (is_mix and mode == "MIXTURE_RATECAT"
+                    and subst.fused_with_rate):
+                log("WARNING: -wslmr is not suitable for fused mixture "
+                    "model, switch now to -wslm")
+                mode = "MIXTURE"
+            opt_w = ModelOptimizer(subst, rate, dtype=dtype)
+            ma_w = jax.jit(opt_w.build)(opt_w.init_params())
+            cat = jax.jit(pattern_lnl_categories)(
+                TreeArrays.from_tree(tree, dtype), ma_w,
+                SiteData.from_alignment(aln, dtype,
+                                        asc=getattr(subst, "asc", False)),
+            )
+            n_rate = ma_w.ncat // max(n_mix, 1)
+            rr = np.asarray(ma_w.rates)
+            write_site_lnl_category(
+                prefix + ".sitelh", aln, pattern_lnl, np.asarray(cat),
+                mode, rr[:n_rate] if not is_mix else rr[:n_rate],
+                n_mix=n_mix, n_rate=n_rate,
+            )
+        else:
+            write_site_lnl(prefix + ".sitelh", aln, pattern_lnl)
     if cfg.write_site_rates:
         import jax
 
@@ -777,6 +815,42 @@ def _run_partitioned(cfg, seq_type, gcode, dtype, log, command, t0):
         log=log,
     )
     res = run_search_partitioned(saln, sp, mode=cfg.partition_mode)
+
+    # ---- partitioned standard bootstrap (-b [-bspec GENE|GENESITE]) ---
+    # (runStandardBootstrap over SuperAlignment resamples,
+    # superalignment.cpp:333-367 createBootstrapAlignment)
+    if cfg.std_bootstrap > 0:
+        from dataclasses import replace as _dc_replace
+
+        from .trees.splits import SplitCounter, consensus_tree, map_supports
+
+        rng_b = np.random.default_rng(cfg.seed + 1000)
+        counter = SplitCounter(saln.n_taxa)
+        boot_trees = []
+        for b in range(cfg.std_bootstrap):
+            freqs = saln.bootstrap_pattern_freqs(rng_b, cfg.bootstrap_spec)
+            sp_b = _dc_replace(
+                sp, seed=cfg.seed + b + 1, n_init_trees=4, n_top_init=2,
+                unsuccess_iteration=min(cfg.unsuccess_iteration, 50),
+                log=lambda s: None,
+            )
+            r_b = run_search_partitioned(saln, sp_b,
+                                         mode=cfg.partition_mode,
+                                         pattern_freqs=freqs)
+            counter.add_tree(r_b.best_tree)
+            boot_trees.append(r_b.best_tree)
+            log(f"Bootstrap replicate {b + 1}/{cfg.std_bootstrap}"
+                f"{' (' + cfg.bootstrap_spec + ')' if cfg.bootstrap_spec else ''}:"
+                f" lnL {r_b.best_lnl:.3f}")
+        with open(prefix + ".boottrees", "w") as f:
+            for t in boot_trees:
+                f.write(t.to_newick(saln.names) + "\n")
+        cons, _ = consensus_tree(counter)
+        with open(prefix + ".contree", "w") as f:
+            f.write(cons.to_newick(
+                saln.names, support=map_supports(cons, counter)) + "\n")
+        log(f"  Bootstrap trees:               {prefix}.boottrees")
+        log(f"  Consensus tree:                {prefix}.contree")
 
     with open(prefix + ".treefile", "w") as f:
         f.write(res.best_tree.to_newick(saln.names) + "\n")

@@ -45,6 +45,7 @@ class RunConfig:
     max_seconds: Optional[float] = None  # -maxtime (minutes in ref)
     n_threads: int = 0  # -nt (0 = all devices)
     write_site_lnl: bool = False  # -wsl
+    wsl_mode: str = ""  # -wslr/-wslg RATECAT, -wslm MIXTURE, -wslmr MIXTURE_RATECAT
     write_site_rates: bool = False  # -wsr
     mh_rates: bool = False  # -mh (Meyer-von Haeseler ML site rates)
     mh_cats: int = 0  # -mhcat k (RateMeyerDiscrete k-means categories)
@@ -55,6 +56,7 @@ class RunConfig:
     quiet: bool = False  # -quiet
     ufboot: int = 0  # -bb replicates
     std_bootstrap: int = 0  # -b replicates (standard, full re-analysis)
+    bootstrap_spec: Optional[str] = None  # -bspec GENE|GENESITE
     alrt: int = 0  # -alrt replicates
     alrt_parametric: bool = False  # -alrt 0 (parametric aLRT test)
     abayes: bool = False  # -abayes
@@ -184,6 +186,12 @@ def parse_args(argv) -> RunConfig:
     p.add_argument("-maxtime", dest="maxtime", type=float, default=None,
                    help="max wall time in minutes")
     p.add_argument("-nt", dest="n_threads", type=int, default=0)
+    p.add_argument("-wslr", "-wslg", dest="wslr", action="store_true",
+                   help="write site log-likelihoods per rate category")
+    p.add_argument("-wslm", dest="wslm", action="store_true",
+                   help="write site log-likelihoods per mixture class")
+    p.add_argument("-wslmr", "-wslrm", dest="wslmr", action="store_true",
+                   help="write site log-likelihoods per mixture+rate class")
     p.add_argument("-wsl", dest="wsl", action="store_true",
                    help="write site log-likelihoods")
     p.add_argument("-mh", dest="mh", action="store_true",
@@ -198,6 +206,10 @@ def parse_args(argv) -> RunConfig:
     p.add_argument("-quiet", dest="quiet", action="store_true")
     p.add_argument("-bb", dest="ufboot", type=int, default=0,
                    help="ultrafast bootstrap replicates (>=1000)")
+    p.add_argument("-bspec", dest="bootstrap_spec", default=None,
+                   help="bootstrap resampling spec for partitioned data: "
+                        "GENE (resample whole partitions) or GENESITE "
+                        "(genes, then sites within genes)")
     p.add_argument("-b", dest="std_boot", type=int, default=0,
                    help="standard nonparametric bootstrap replicates")
     p.add_argument("-mset", dest="model_set", default=None,
@@ -375,7 +387,10 @@ def parse_args(argv) -> RunConfig:
         stop_confidence=a.stop_confidence,
         max_seconds=a.maxtime * 60 if a.maxtime else None,
         n_threads=a.n_threads,
-        write_site_lnl=a.wsl,
+        write_site_lnl=a.wsl or a.wslr or a.wslm or a.wslmr,
+        wsl_mode=("MIXTURE_RATECAT" if a.wslmr else
+                  "MIXTURE" if a.wslm else
+                  "RATECAT" if a.wslr else ""),
         write_site_rates=a.wsr,
         mh_rates=a.mh or a.mhcat > 0,
         mh_cats=a.mhcat,
@@ -385,6 +400,7 @@ def parse_args(argv) -> RunConfig:
         quiet=a.quiet,
         ufboot=a.ufboot,
         std_bootstrap=a.std_boot,
+        bootstrap_spec=a.bootstrap_spec,
         alrt=a.alrt if a.alrt else 0,
         alrt_parametric=a.alrt == 0,  # -alrt 0 = parametric aLRT
         abayes=a.abayes,

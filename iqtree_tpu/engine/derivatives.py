@@ -33,6 +33,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .likelihood import (
     ModelArrays,
@@ -337,6 +338,23 @@ def optimize_branch_mask(tree: TreeArrays) -> jnp.ndarray:
     return mask
 
 
+def newton_target(
+    d1: jnp.ndarray,
+    d2: jnp.ndarray,
+    blen: jnp.ndarray,
+    min_blen: float = MIN_BLEN,
+    max_blen: float = MAX_BLEN,
+) -> jnp.ndarray:
+    """Safeguarded per-branch Newton target from (d1, d2): same update
+    rule as the reference's minimizeNewton (optimization.cpp:388) —
+    t* = clip(t - f'/f''), falling back to a doubling/halving move along
+    the gradient when curvature is not negative."""
+    newton = blen - d1 / jnp.minimum(d2, -1e-12)
+    fallback = jnp.where(d1 > 0, blen * 2.0, blen * 0.5)
+    target = jnp.where(d2 < -1e-12, newton, fallback)
+    return jnp.clip(target, min_blen, max_blen)
+
+
 def newton_direction(
     theta: ThetaBuffers,
     model: ModelArrays,
@@ -345,17 +363,9 @@ def newton_direction(
     min_blen: float = MIN_BLEN,
     max_blen: float = MAX_BLEN,
 ) -> jnp.ndarray:
-    """Per-branch Newton target lengths (the full step), safeguarded.
-
-    Same update rule as the reference's minimizeNewton
-    (optimization.cpp:388): t* = clip(t - f'/f''), falling back to a
-    doubling/halving move along the gradient when curvature is not
-    negative (not at a maximum)."""
+    """Per-branch Newton target lengths (the full step), safeguarded."""
     _, d1, d2 = branch_lnl_derivs(theta, model, site, blen)
-    newton = blen - d1 / jnp.minimum(d2, -1e-12)
-    fallback = jnp.where(d1 > 0, blen * 2.0, blen * 0.5)
-    target = jnp.where(d2 < -1e-12, newton, fallback)
-    return jnp.clip(target, min_blen, max_blen)
+    return newton_target(d1, d2, blen, min_blen, max_blen)
 
 
 def optimize_all_branches(
@@ -380,6 +390,22 @@ def optimize_all_branches(
     mask = optimize_branch_mask(tree)
     tips = tip_partials(site, model.ncat)
 
+    # the fused Newton-derivative kernel serves packable shapes without
+    # +ASC (ASC adds per-branch correction terms the kernel doesn't
+    # carry; unobserved-pattern workloads fall back to the theta path)
+    from .kernels.pruning import _cs_packable
+
+    try:
+        has_asc = bool(np.any(np.asarray(site.asc_mask)))
+    except Exception:
+        has_asc = True
+    use_newton_kernel = (
+        steps is not None
+        and model.qmat is None
+        and not has_asc
+        and _cs_packable(model.ncat, model.num_states)
+    )
+
     if steps is not None:
         from .kernels.pruning import fused_compute_loglik
 
@@ -400,15 +426,26 @@ def optimize_all_branches(
     def sweep(carry):
         blen, last_lnl, it, _ = carry
         t = tree.with_blen(blen)
-        if steps is not None:
-            up, us, out, os_, _, site_p = fused_all_passes(
-                t, model, site, steps, n_slots
+        if use_newton_kernel:
+            from .kernels.cs_kernels import fused_newton_derivs
+            from .nni import _ptn_invar
+
+            d1, d2 = fused_newton_derivs(
+                steps, n_slots, model, blen, tips, site.pattern_freq,
+                _ptn_invar(model, site),
             )
+            target = newton_target(d1[: blen.shape[0]], d2[: blen.shape[0]],
+                                   blen)
         else:
-            up, us, out, os_, _ = all_passes(t, model, site)
-            site_p = site
-        theta = compute_thetas(t, model, site_p, up, us, out, os_)
-        target = newton_direction(theta, model, site_p, blen)
+            if steps is not None:
+                up, us, out, os_, _, site_p = fused_all_passes(
+                    t, model, site, steps, n_slots
+                )
+            else:
+                up, us, out, os_, _ = all_passes(t, model, site)
+                site_p = site
+            theta = compute_thetas(t, model, site_p, up, us, out, os_)
+            target = newton_direction(theta, model, site_p, blen)
         direction = jnp.where(mask, target - blen, 0.0)
 
         def bt_cond(s):

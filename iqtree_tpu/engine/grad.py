@@ -75,7 +75,31 @@ def _loglik_bwd(res, cotangents, steps=None, n_slots=0):
     trans = branch_transition_mats(model, tree.blen)
     tips = tip_partials(site, model.ncat)
     usc8 = None
+    use_cs = False
     if steps is not None:
+        from .kernels.pruning import _cs_packable
+
+        use_cs = _cs_packable(model.ncat, model.num_states)
+    if use_cs:
+        # CS-packed store: up is [2N, CS, P_pad] (half the HBM traffic
+        # of the padded [2N, C, S_pad8, P] layout at DNA shapes)
+        from .derivatives import pad_site_patterns
+        from .kernels.cs_kernels import fused_upward_store_cs
+
+        up_cs, usc8_cs = fused_upward_store_cs(steps, n_slots, trans, tips)
+        usc_cs = usc8_cs[:, :1, :]
+        P_pad = up_cs.shape[-1]
+        if P_pad != P0:
+            tips = jnp.pad(tips, ((0, 0), (0, 0), (0, P_pad - P0)),
+                           constant_values=1.0)
+            g_pat = jnp.pad(g_pat, (0, P_pad - P0))
+        site = pad_site_patterns(site, P_pad)
+        C = model.ncat
+        S = model.num_states
+        root = tree.root
+        up_root = up_cs[root].reshape(C, S, P_pad)
+        up_scale_root = usc_cs[root, 0]
+    elif steps is not None:
         # fused Pallas upward (9x the XLA mailbox sweep at 1000 taxa);
         # NO mailbox writes — the fused downward recomputes the child
         # messages from `up` with the MXU instead of streaming a
@@ -99,14 +123,16 @@ def _loglik_bwd(res, cotangents, steps=None, n_slots=0):
         )
     root = tree.root
     S = tips.shape[1]
+    if not use_cs:
+        up_root = up[root][:, :S, :]
+        up_scale_root = up_scale[root]
 
     # root-level vjp: props, state_freq, p_invar, pattern_freq (and lnl_p)
     # (the fused store pads the state axis to a sublane multiple for
     # S=20 protein etc. — slice the root partial back to S)
     def root_fn(model_, pattern_freq_):
         site_ = site._replace(pattern_freq=pattern_freq_)
-        return root_loglik(model_, site_, up[root][:, :S, :],
-                           up_scale[root])
+        return root_loglik(model_, site_, up_root, up_scale_root)
 
     (lnl_total, lnl_p), root_vjp = jax.vjp(root_fn, model, site.pattern_freq)
     model_bar, pattern_freq_bar = root_vjp((g_total, g_pat))
@@ -132,8 +158,17 @@ def _loglik_bwd(res, cotangents, steps=None, n_slots=0):
     u_asc = jnp.sum(
         site.asc_mask * jnp.exp(jnp.minimum(lnl_p.astype(w_p.dtype), 30.0))
     )
-    lnl_raw = (lnl_p - jnp.log1p(u_asc)).astype(up.dtype)
-    if steps is not None:
+    lnl_raw = (lnl_p - jnp.log1p(u_asc)).astype(tips.dtype)
+    if use_cs:
+        from .kernels.cs_kernels import _fill_tip_rows_cs, fused_tbar_cs
+
+        up_cs, usc_cs = _fill_tip_rows_cs(up_cs, usc_cs, tips,
+                                          tree.n_taxa, model.ncat)
+        trans_bar = fused_tbar_cs(
+            steps, n_slots, trans, tips, model.props, model.state_freq,
+            lnl_raw, w_p.astype(tips.dtype), up=up_cs, usc=usc_cs,
+        )
+    elif steps is not None:
         from .kernels.pruning import fused_downward_tbar
 
         # the fused reverse sweep reads EVERY child (tips included)

@@ -1,0 +1,747 @@
+"""CS-packed store / Newton / cotangent kernels.
+
+Companions to the CS-packed forward (`pruning._kernel_cs`): the
+(category x state) axes are flattened into one packed row axis CS = C*S,
+so per-node work is single [*, CS] matmuls on the MXU and the HBM
+buffers shrink from [2N, C, S_pad8, P] to [2N, CS, P] (half the traffic
+at DNA shapes, where S pads 4 -> 8).
+
+Three kernels:
+
+* `_kernel_store_cs` — upward (post-order) sweep that streams every
+  internal node's packed partial + log-scale to HBM via per-slot async
+  DMA (the residuals for any reverse sweep).
+
+* `_kernel_newton_cs` — reverse sweep fused with the per-branch Newton
+  derivative reductions: for every edge e it forms the outside partial
+  O_e in VMEM and accumulates d1[e] = sum_p w_p f1/denom and
+  d2[e] = sum_p w_p (f2/denom - (f1/denom)^2) where
+  f_k = sum_cs O_e * (d^k P_e/dt^k  U_e).  This is the TPU analogue of
+  the reference's theta-buffer derivative kernel
+  (computeLikelihoodDervEigenSIMD, /root/reference/phylokernel.h:485)
+  batched over ALL branches — but nothing (no theta, no outside buffer)
+  is ever materialized to HBM: one kernel call yields the entire
+  branch-Newton direction's raw material.
+
+* `_kernel_tbar_cs` — reverse sweep fused with transition-matrix
+  cotangent accumulation (the packed analogue of
+  pruning._kernel_down_tbar) for the custom-VJP gradient.
+
+All reverse kernels read child inside-partials back from the HBM `up`
+buffer with double-buffered async DMA (tip rows pre-filled by the
+caller, so child reads are uniform streams).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SCALE_TINY = 1e-30
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _interpret_default():
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+# --------------------------------------------------------------------
+# upward store
+# --------------------------------------------------------------------
+
+def _kernel_store_cs(steps_ref, tips_ref, pair_ref, out_ref, up_ref,
+                     usc_ref, slots_ref, sscale_ref, xstage_ref,
+                     sstage_ref, sems, ssems, *, n_steps: int,
+                     n_taxa: int, CS: int, S_t: int, tile: int):
+    """CS-packed upward sweep storing each internal node's packed
+    partial [CS, tile] and 8-replicated log-scale to HBM (ANY space)
+    via per-slot async DMA overlapping compute."""
+    f32 = out_ref.dtype
+    n_slots = slots_ref.shape[0]
+    i_tile = pl.program_id(0)
+
+    xstage_ref[...] = jnp.zeros(xstage_ref.shape, f32)
+    sscale_ref[...] = jnp.zeros(sscale_ref.shape, f32)
+
+    def copies(slot, node):
+        c1 = pltpu.make_async_copy(
+            slots_ref.at[slot],
+            up_ref.at[node, :, pl.ds(i_tile * tile, tile)],
+            sems.at[slot],
+        )
+        c2 = pltpu.make_async_copy(
+            sstage_ref.at[slot],
+            usc_ref.at[node, :, pl.ds(i_tile * tile, tile)],
+            ssems.at[slot],
+        )
+        return c1, c2
+
+    def prime(slot, _):
+        c1, c2 = copies(slot, jnp.int32(0))
+        c1.start()
+        c2.start()
+        return 0
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_slots), prime, 0)
+
+    def stage(b, c_node, c_slot):
+        @pl.when(c_slot < 0)
+        def _tip():
+            xstage_ref[pl.ds(b * CS, S_t)] = tips_ref[
+                jnp.minimum(c_node, n_taxa - 1)
+            ]
+
+        @pl.when(c_slot >= 0)
+        def _slot():
+            xstage_ref[pl.ds(b * CS, CS)] = slots_ref[jnp.maximum(c_slot, 0)]
+
+        return sscale_ref[jnp.maximum(c_slot, 0)] * (c_slot >= 0)
+
+    def step(i, _):
+        l = steps_ref[i, 0]
+        r = steps_ref[i, 1]
+        ls = steps_ref[i, 2]
+        rs = steps_ref[i, 3]
+        out_slot = steps_ref[i, 4]
+        node = steps_ref[i, 5]
+        sl = stage(0, l, ls)
+        sr = stage(1, r, rs)
+        m = jax.lax.dot_general(
+            pair_ref[i], xstage_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=HIGHEST,
+        )
+        y = m[:CS] * m[CS:]
+        mx = jnp.maximum(jnp.max(y, axis=0), SCALE_TINY)
+        c1, c2 = copies(out_slot, node)
+        c1.wait()
+        c2.wait()
+        slots_ref[out_slot] = y / mx[None, :]
+        sc = sl + sr + jnp.log(mx)
+        sscale_ref[out_slot] = sc
+        sstage_ref[out_slot] = jnp.broadcast_to(sc[None, :], (8, tile))
+        c1, c2 = copies(out_slot, node)
+        c1.start()
+        c2.start()
+        return 0
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), step, 0)
+
+    def drain(slot, _):
+        c1, c2 = copies(slot, jnp.int32(0))
+        c1.wait()
+        c2.wait()
+        return 0
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_slots), drain, 0)
+    root_slot = steps_ref[n_steps - 1, 4]
+    out_ref[0, :] = sscale_ref[root_slot]
+
+
+def fused_upward_store_cs(steps, n_slots, trans, tipsP, tile=None,
+                          interpret=None):
+    """(up [2N, CS, P*], usc8 [2N, 8, P*]) — packed upward store.
+
+    Tip rows of `up` are NOT filled.  Single-device outputs are pattern-
+    tile PADDED (garbage in padding); under an active mesh the sweep runs
+    per-shard and outputs come back SLICED to the true pattern count.
+    Requires _cs_packable(C, S)."""
+    from ...parallel import PATTERN_AXIS, get_mesh
+
+    mesh = get_mesh()
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as PS
+
+        def local(steps_, trans_, tips_):
+            up, usc8 = _fused_upward_store_cs_local(
+                steps_, n_slots, trans_, tips_, tile=tile,
+                interpret=interpret,
+            )
+            P = tips_.shape[2]
+            return up[..., :P], usc8[..., :P]
+
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(PS(), PS(), PS(None, None, PATTERN_AXIS)),
+            out_specs=(PS(None, None, PATTERN_AXIS),
+                       PS(None, None, PATTERN_AXIS)),
+            check_vma=False,
+        )
+        return f(steps, trans, tipsP)
+    return _fused_upward_store_cs_local(steps, n_slots, trans, tipsP,
+                                        tile=tile, interpret=interpret)
+
+
+def _fused_upward_store_cs_local(steps, n_slots, trans, tipsP, *,
+                                 tile=None, interpret=None):
+    from .pruning import _pick_tile_cs, pack_pair_mats
+
+    if interpret is None:
+        interpret = _interpret_default()
+    n_taxa, S, P = tipsP.shape
+    C = trans.shape[1]
+    CS = C * S
+    n_nodes = trans.shape[0]
+    steps = steps.astype(jnp.int32)
+    n_steps = steps.shape[0]
+    if tile is None:
+        tile = _pick_tile_cs(n_taxa, n_steps, CS, S, n_slots, trans.dtype)
+    P_pad = ((P + tile - 1) // tile) * tile
+    if P_pad != P:
+        tipsP = jnp.pad(tipsP, ((0, 0), (0, 0), (0, P_pad - P)),
+                        constant_values=1.0)
+    dtype = trans.dtype
+    pair = pack_pair_mats(trans, steps)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((n_taxa, S, tile), lambda i, steps: (i * 0, i * 0, i)),
+            pl.BlockSpec(pair.shape, lambda i, steps: (i * 0, i * 0, i * 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda i, steps: (i * 0, i)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, CS, tile), dtype),
+            pltpu.VMEM((n_slots, tile), dtype),
+            pltpu.VMEM((2 * CS, tile), dtype),
+            pltpu.VMEM((n_slots, 8, tile), dtype),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+        ],
+    )
+    _, up, usc8 = pl.pallas_call(
+        functools.partial(_kernel_store_cs, n_steps=n_steps, n_taxa=n_taxa,
+                          CS=CS, S_t=S, tile=tile),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, P_pad), dtype),
+            jax.ShapeDtypeStruct((n_nodes, CS, P_pad), dtype),
+            jax.ShapeDtypeStruct((n_nodes, 8, P_pad), dtype),
+        ],
+        interpret=interpret,
+    )(steps, tipsP, pair)
+    return up, usc8
+
+
+# --------------------------------------------------------------------
+# shared reverse-sweep scaffolding
+# --------------------------------------------------------------------
+
+def _make_fetch(up_hbm, usc_hbm, ustage_ref, sstage_ref, usems, ssems,
+                i_tile, tile):
+    def copies(k, c_node):
+        c1 = pltpu.make_async_copy(
+            up_hbm.at[c_node, :, pl.ds(i_tile * tile, tile)],
+            ustage_ref.at[k], usems.at[k],
+        )
+        c2 = pltpu.make_async_copy(
+            usc_hbm.at[c_node, :, pl.ds(i_tile * tile, tile)],
+            sstage_ref.at[k], ssems.at[k],
+        )
+        return c1, c2
+
+    def fetch(k, c_node):
+        c1, c2 = copies(k, c_node)
+        c1.start()
+        c2.start()
+
+    def await_(k):
+        c1, c2 = copies(k, jnp.int32(0))
+        c1.wait()
+        c2.wait()
+
+    return fetch, await_
+
+
+# --------------------------------------------------------------------
+# Newton-derivative reverse sweep
+# --------------------------------------------------------------------
+
+def _kernel_newton_cs(steps_ref, mstk_ref, rootd_ref, wp_ref, invar_ref,
+                      up_hbm, usc_hbm, acc_ref, dslots_ref, dscale_ref,
+                      ustage_ref, sstage_ref, usems, ssems, *,
+                      n_steps: int, CS: int, tile: int):
+    """Reverse sweep accumulating per-edge (d1, d2) branch derivatives.
+
+    mstk[e] = [P_e; P'_e; P''_e] stacked [3CS, CS]; the single matmul
+    mstk[e] @ U_e yields the transition-applied message and its first
+    two branch-length derivatives at once.  acc[e] lanes: 0 = d1,
+    1 = d2, 2 = sum_p w_p log f0 + ... (unused; d1/d2 suffice for the
+    Newton direction)."""
+    f32 = acc_ref.dtype
+    i_tile = pl.program_id(0)
+
+    @pl.when(i_tile == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros(acc_ref.shape, f32)
+
+    wp = wp_ref[0, :]
+    invar = invar_ref[0, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
+
+    fetch, await_ = _make_fetch(up_hbm, usc_hbm, ustage_ref, sstage_ref,
+                                usems, ssems, i_tile, tile)
+
+    def do_step(i, k0: int, k1: int):
+        kn = k0 ^ 2
+
+        @pl.when(i - 1 >= 0)
+        def _prefetch():
+            fetch(jnp.int32(kn), steps_ref[i - 1, 0])
+            fetch(jnp.int32(kn + 1), steps_ref[i - 1, 1])
+
+        l = steps_ref[i, 0]
+        r = steps_ref[i, 1]
+        ls = steps_ref[i, 2]
+        rs = steps_ref[i, 3]
+        out_slot = steps_ref[i, 4]
+
+        def root_case(_):
+            d = jnp.broadcast_to(rootd_ref[...], (CS, tile))
+            return d.astype(f32), jnp.zeros((tile,), f32)
+
+        def slot_case(_):
+            s = jnp.maximum(out_slot, 0)
+            return dslots_ref[s], dscale_ref[s]
+
+        d, dsc = jax.lax.cond(i == n_steps - 1, root_case, slot_case, None)
+
+        await_(jnp.int32(k0))
+        await_(jnp.int32(k1))
+        u_l, s_l = ustage_ref[k0], sstage_ref[k0, 0, :]
+        u_r, s_r = ustage_ref[k1], sstage_ref[k1, 0, :]
+
+        def msg(c_node, u):
+            return jax.lax.dot_general(
+                mstk_ref[c_node], u,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=HIGHEST,
+            )  # [3CS, tile]: rows [0:CS]=PU, [CS:2CS]=P'U, [2CS:]=P''U
+
+        mk_l = msg(l, u_l)
+        mk_r = msg(r, u_r)
+
+        def side(c_node, c_slot, s_c, mk_c, m0_sib, s_sib):
+            y = d * m0_sib  # unnormalized O_e [CS, tile]
+            mx = jnp.maximum(jnp.max(y, axis=0), SCALE_TINY)
+            o = y / mx[None, :]
+            osc = dsc + s_sib + jnp.log(mx)
+            f0 = jnp.maximum(jnp.sum(o * mk_c[:CS], axis=0), SCALE_TINY)
+            f1 = jnp.sum(o * mk_c[CS:2 * CS], axis=0)
+            f2 = jnp.sum(o * mk_c[2 * CS:], axis=0)
+            # denom in the scaled frame: f0 + invar * exp(-(osc + s_c))
+            inv_t = invar * jnp.exp(
+                jnp.minimum(-(osc + s_c), 80.0)
+            ) * (invar > 0)
+            denom = f0 + inv_t
+            r1 = f1 / denom
+            r2 = f2 / denom
+            s1 = jnp.sum(wp * r1)
+            s2 = jnp.sum(wp * (r2 - r1 * r1))
+            vec = (jnp.where(lane == 0, s1, 0.0)
+                   + jnp.where(lane == 1, s2, 0.0))
+            acc_ref[c_node] = acc_ref[c_node] + vec
+
+            @pl.when(c_slot >= 0)
+            def _push():
+                # D_child = P_e^T O_e (transport through the child edge):
+                # contract the parent-side axis of the P block of mstk
+                dd = jax.lax.dot_general(
+                    mstk_ref[c_node][:CS], o,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=HIGHEST,
+                )  # [CS, tile]
+                s = jnp.maximum(c_slot, 0)
+                dslots_ref[s] = dd
+                dscale_ref[s] = osc
+
+        side(l, ls, s_l, mk_l, mk_r[:CS], s_r)
+        side(r, rs, s_r, mk_r, mk_l[:CS], s_l)
+
+    fetch(jnp.int32(0), steps_ref[n_steps - 1, 0])
+    fetch(jnp.int32(1), steps_ref[n_steps - 1, 1])
+
+    def pair_steps(j2, _):
+        i = n_steps - 1 - 2 * j2
+        do_step(i, 0, 1)
+
+        @pl.when(i - 1 >= 0)
+        def _odd():
+            do_step(i - 1, 2, 3)
+
+        return 0
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32((n_steps + 1) // 2),
+                      pair_steps, 0)
+
+def _fill_tip_rows_cs(up, usc, tipsP, n_taxa, C):
+    """Fill tip rows of the packed `up` buffer with C-tiled tip partials
+    (zero scales) so reverse-sweep child reads are uniform HBM streams.
+    `usc` is the single-row [2N, 1, P] scale buffer."""
+    N, S, P_pad = tipsP.shape
+    tips_cs = jnp.broadcast_to(
+        tipsP[:, None, :, :], (N, C, S, P_pad)
+    ).reshape(N, C * S, P_pad)
+    up = up.at[:n_taxa].set(tips_cs)
+    usc = usc.at[:n_taxa].set(0.0)
+    return up, usc
+
+
+def stacked_deriv_mats(model, blen):
+    """mstk [2N, 3CS, CS]: per edge the block-diag packings of
+    (P(t), dP/dt, d2P/dt2) stacked vertically, from the eigensystem
+    (P^(k) = V (Lambda r_c)^k e^{Lambda r_c t} V^-1 — the matrices the
+    reference's derivative kernel applies implicitly in the theta basis,
+    phylokernel.h:485)."""
+    from .pruning import block_diag_cs
+
+    lam_r = model.eigenvalues * model.rates[:, None]  # [C, S]
+    e = jnp.exp(lam_r[None, :, :] * blen[:, None, None])  # [E, C, S]
+    mats = []
+    for k in range(3):
+        w = e * lam_r[None] ** k if k else e
+        pk = jnp.einsum("csj,ecj,cjt->ecst", model.eigvec, w,
+                        model.inv_eigvec, precision=HIGHEST)
+        mats.append(block_diag_cs(pk))
+    return jnp.concatenate(mats, axis=1)
+
+
+def fused_newton_derivs(
+    steps: jnp.ndarray,
+    n_slots: int,
+    model,
+    tree_blen: jnp.ndarray,  # [2N] device-numbered branch lengths
+    tipsP: jnp.ndarray,  # [N, S, P]
+    pattern_freq: jnp.ndarray,  # [P]
+    ptn_invar: jnp.ndarray,  # [P]
+    tile: int = None,
+    interpret: bool = None,
+):
+    """(d1 [2N], d2 [2N]) branch-length derivatives for EVERY edge via
+    one packed upward store + one fused reverse sweep; indexing matches
+    blen (entry v = the edge above node v).  Under an active mesh the
+    sweeps run per-shard and (d1, d2) psum over the pattern axis."""
+    from ...parallel import PATTERN_AXIS, get_mesh
+
+    mesh = get_mesh()
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as PS
+
+        def local(steps_, blen_, tips_, wp_, invar_):
+            d1, d2 = _fused_newton_derivs_local(
+                steps_, n_slots, model, blen_, tips_, wp_, invar_,
+                tile=tile, interpret=interpret,
+            )
+            return (jax.lax.psum(d1, PATTERN_AXIS),
+                    jax.lax.psum(d2, PATTERN_AXIS))
+
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(PS(), PS(), PS(None, None, PATTERN_AXIS),
+                      PS(PATTERN_AXIS), PS(PATTERN_AXIS)),
+            out_specs=(PS(), PS()),
+            check_vma=False,
+        )
+        return f(steps, tree_blen, tipsP, pattern_freq, ptn_invar)
+    return _fused_newton_derivs_local(
+        steps, n_slots, model, tree_blen, tipsP, pattern_freq, ptn_invar,
+        tile=tile, interpret=interpret,
+    )
+
+
+def _fused_newton_derivs_local(
+    steps, n_slots, model, tree_blen, tipsP, pattern_freq, ptn_invar, *,
+    tile=None, interpret=None,
+):
+    from ..likelihood import branch_transition_mats
+    from .pruning import _pick_tile_cs
+
+    if interpret is None:
+        interpret = _interpret_default()
+    n_taxa, S, P = tipsP.shape
+    C = model.ncat
+    CS = C * S
+    steps = steps.astype(jnp.int32)
+    n_steps = steps.shape[0]
+    if tile is None:
+        tile = _pick_tile_cs(n_taxa, n_steps, CS, S, n_slots, tipsP.dtype)
+
+    trans = branch_transition_mats(model, tree_blen)
+    up, usc8 = _fused_upward_store_cs_local(steps, n_slots, trans, tipsP,
+                                            tile=tile, interpret=interpret)
+    P_pad = up.shape[-1]
+    if P_pad != P:
+        tipsP = jnp.pad(tipsP, ((0, 0), (0, 0), (0, P_pad - P)),
+                        constant_values=1.0)
+        pattern_freq = jnp.pad(pattern_freq, (0, P_pad - P))
+        ptn_invar = jnp.pad(ptn_invar, (0, P_pad - P))
+    usc = usc8[:, :1, :]  # [2N, 1, P_pad] — single-row DMA source
+    up, usc = _fill_tip_rows_cs(up, usc, tipsP, n_taxa, C)
+
+    mstk = stacked_deriv_mats(model, tree_blen)
+    rootd = (model.props[:, None] * model.state_freq).reshape(CS, 1)
+    n_nodes = trans.shape[0]
+    dtype = tipsP.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P_pad // tile,),
+        in_specs=[
+            pl.BlockSpec(mstk.shape, lambda i, s: (i * 0, i * 0, i * 0)),
+            pl.BlockSpec((CS, 1), lambda i, s: (i * 0, i * 0)),
+            pl.BlockSpec((1, tile), lambda i, s: (i * 0, i)),
+            pl.BlockSpec((1, tile), lambda i, s: (i * 0, i)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # up
+            pl.BlockSpec(memory_space=pltpu.ANY),  # usc
+        ],
+        out_specs=pl.BlockSpec((n_nodes, 128),
+                               lambda i, s: (i * 0, i * 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, CS, tile), dtype),
+            pltpu.VMEM((n_slots, tile), dtype),
+            pltpu.VMEM((4, CS, tile), dtype),
+            pltpu.VMEM((4, 1, tile), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    acc = pl.pallas_call(
+        functools.partial(_kernel_newton_cs, n_steps=n_steps, CS=CS,
+                          tile=tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_nodes, 128), dtype),
+        interpret=interpret,
+    )(steps, mstk, rootd, pattern_freq[None, :], ptn_invar[None, :],
+      up, usc)
+    return acc[:, 0], acc[:, 1]
+
+
+# --------------------------------------------------------------------
+# transition-matrix cotangent reverse sweep (custom-VJP backward)
+# --------------------------------------------------------------------
+
+def _kernel_tbar_cs(steps_ref, bd_ref, rootd_ref, lnl_ref, wp_ref,
+                    up_hbm, usc_hbm, tbar_ref, dslots_ref, dscale_ref,
+                    ustage_ref, sstage_ref, usems, ssems, *,
+                    n_steps: int, CS: int, tile: int):
+    """Reverse sweep accumulating the full packed [CS, CS] cotangent of
+    every edge's block-diag transition operator (props folded into the
+    root seed); callers extract the per-category diagonal blocks.  The
+    packed analogue of pruning._kernel_down_tbar with half the HBM
+    traffic at DNA shapes."""
+    f32 = tbar_ref.dtype
+    i_tile = pl.program_id(0)
+
+    @pl.when(i_tile == 0)
+    def _zero():
+        tbar_ref[...] = jnp.zeros(tbar_ref.shape, f32)
+
+    lnl = lnl_ref[0, :]
+    wp = wp_ref[0, :]
+
+    fetch, await_ = _make_fetch(up_hbm, usc_hbm, ustage_ref, sstage_ref,
+                                usems, ssems, i_tile, tile)
+
+    def do_step(i, k0: int, k1: int):
+        kn = k0 ^ 2
+
+        @pl.when(i - 1 >= 0)
+        def _prefetch():
+            fetch(jnp.int32(kn), steps_ref[i - 1, 0])
+            fetch(jnp.int32(kn + 1), steps_ref[i - 1, 1])
+
+        l = steps_ref[i, 0]
+        r = steps_ref[i, 1]
+        ls = steps_ref[i, 2]
+        rs = steps_ref[i, 3]
+        out_slot = steps_ref[i, 4]
+
+        def root_case(_):
+            d = jnp.broadcast_to(rootd_ref[...], (CS, tile))
+            return d.astype(f32), jnp.zeros((tile,), f32)
+
+        def slot_case(_):
+            s = jnp.maximum(out_slot, 0)
+            return dslots_ref[s], dscale_ref[s]
+
+        d, dsc = jax.lax.cond(i == n_steps - 1, root_case, slot_case, None)
+
+        await_(jnp.int32(k0))
+        await_(jnp.int32(k1))
+        u_l, s_l = ustage_ref[k0], sstage_ref[k0, 0, :]
+        u_r, s_r = ustage_ref[k1], sstage_ref[k1, 0, :]
+
+        def msg(c_node, u):
+            return jax.lax.dot_general(
+                bd_ref[c_node], u,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32, precision=HIGHEST,
+            )
+
+        m_l = msg(l, u_l)
+        m_r = msg(r, u_r)
+
+        def side(c_node, c_slot, u_c, s_c, m_sib, s_sib):
+            y = d * m_sib
+            mx = jnp.maximum(jnp.max(y, axis=0), SCALE_TINY)
+            o = y / mx[None, :]
+            osc = dsc + s_sib + jnp.log(mx)
+            fac = jnp.exp(jnp.minimum(osc + s_c - lnl, 80.0)) * wp
+            tb = jax.lax.dot_general(
+                o * fac[None, :], u_c,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32, precision=HIGHEST,
+            )  # [CS, CS]
+            tbar_ref[c_node] = tbar_ref[c_node] + tb
+
+            @pl.when(c_slot >= 0)
+            def _push():
+                dd = jax.lax.dot_general(
+                    bd_ref[c_node], o,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=f32, precision=HIGHEST,
+                )
+                s = jnp.maximum(c_slot, 0)
+                dslots_ref[s] = dd
+                dscale_ref[s] = osc
+
+        side(l, ls, u_l, s_l, m_r, s_r)
+        side(r, rs, u_r, s_r, m_l, s_l)
+
+    fetch(jnp.int32(0), steps_ref[n_steps - 1, 0])
+    fetch(jnp.int32(1), steps_ref[n_steps - 1, 1])
+
+    def pair_steps(j2, _):
+        i = n_steps - 1 - 2 * j2
+        do_step(i, 0, 1)
+
+        @pl.when(i - 1 >= 0)
+        def _odd():
+            do_step(i - 1, 2, 3)
+
+        return 0
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32((n_steps + 1) // 2),
+                      pair_steps, 0)
+
+
+def fused_tbar_cs(
+    steps: jnp.ndarray,
+    n_slots: int,
+    trans: jnp.ndarray,  # [2N, C, S, S]
+    tipsP: jnp.ndarray,  # [N, S, P] (UNPADDED pattern axis)
+    props: jnp.ndarray,  # [C]
+    state_freq: jnp.ndarray,  # [C, S]
+    lnl_raw: jnp.ndarray,  # [P] raw per-pattern lnl
+    w_p: jnp.ndarray,  # [P] cotangent weights
+    up=None, usc=None,  # optional reuse of a prior packed upward store
+    tile: int = None,
+    interpret: bool = None,
+):
+    """[2N, C, S, S] transition cotangents via packed store + reverse
+    sweep (drop-in for pruning.fused_downward_tbar on packable shapes).
+    Under an active mesh the accumulators psum over the pattern axis."""
+    from ...parallel import PATTERN_AXIS, get_mesh
+
+    mesh = get_mesh()
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as PS
+
+        def local(steps_, trans_, tips_, lnl_, wp_):
+            tb = _fused_tbar_cs_local(
+                steps_, n_slots, trans_, tips_, props, state_freq,
+                lnl_, wp_, tile=tile, interpret=interpret,
+            )
+            return jax.lax.psum(tb, PATTERN_AXIS)
+
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(PS(), PS(), PS(None, None, PATTERN_AXIS),
+                      PS(PATTERN_AXIS), PS(PATTERN_AXIS)),
+            out_specs=PS(),
+            check_vma=False,
+        )
+        return f(steps, trans, tipsP, lnl_raw, w_p)
+    return _fused_tbar_cs_local(
+        steps, n_slots, trans, tipsP, props, state_freq, lnl_raw, w_p,
+        up=up, usc=usc, tile=tile, interpret=interpret,
+    )
+
+
+def _fused_tbar_cs_local(
+    steps, n_slots, trans, tipsP, props, state_freq, lnl_raw, w_p, *,
+    up=None, usc=None, tile=None, interpret=None,
+):
+    from .pruning import _pick_tile_cs, block_diag_cs
+
+    if interpret is None:
+        interpret = _interpret_default()
+    n_taxa, S, P = tipsP.shape
+    C = trans.shape[1]
+    CS = C * S
+    steps = steps.astype(jnp.int32)
+    n_steps = steps.shape[0]
+    if tile is None:
+        tile = _pick_tile_cs(n_taxa, n_steps, CS, S, n_slots, trans.dtype)
+
+    if up is None:
+        up, usc8 = _fused_upward_store_cs_local(
+            steps, n_slots, trans, tipsP, tile=tile, interpret=interpret)
+        usc = usc8[:, :1, :]
+    P_pad = up.shape[-1]
+    if P_pad != P:
+        tipsP = jnp.pad(tipsP, ((0, 0), (0, 0), (0, P_pad - P)),
+                        constant_values=1.0)
+        lnl_raw = jnp.pad(lnl_raw, (0, P_pad - P))
+        w_p = jnp.pad(w_p, (0, P_pad - P))
+    up, usc = _fill_tip_rows_cs(up, usc, tipsP, n_taxa, C)
+
+    bd = block_diag_cs(trans)
+    rootd = (props[:, None] * state_freq).reshape(CS, 1)
+    n_nodes = trans.shape[0]
+    dtype = trans.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P_pad // tile,),
+        in_specs=[
+            pl.BlockSpec(bd.shape, lambda i, s: (i * 0, i * 0, i * 0)),
+            pl.BlockSpec((CS, 1), lambda i, s: (i * 0, i * 0)),
+            pl.BlockSpec((1, tile), lambda i, s: (i * 0, i)),
+            pl.BlockSpec((1, tile), lambda i, s: (i * 0, i)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((n_nodes, CS, CS),
+                               lambda i, s: (i * 0, i * 0, i * 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, CS, tile), dtype),
+            pltpu.VMEM((n_slots, tile), dtype),
+            pltpu.VMEM((4, CS, tile), dtype),
+            pltpu.VMEM((4, 1, tile), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    tbar = pl.pallas_call(
+        functools.partial(_kernel_tbar_cs, n_steps=n_steps, CS=CS,
+                          tile=tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_nodes, CS, CS), dtype),
+        interpret=interpret,
+    )(steps, bd, rootd, lnl_raw[None, :], w_p[None, :], up, usc)
+    # extract the per-category diagonal blocks -> [2N, C, S, S]
+    out = jnp.stack(
+        [tbar[:, c * S:(c + 1) * S, c * S:(c + 1) * S] for c in range(C)],
+        axis=1,
+    )
+    return out

@@ -478,3 +478,23 @@ def compute_loglik(
     x, scale = upward_pass(tree, trans, tips)
     root = tree.root
     return root_loglik(model, site, x[root], scale[root])
+
+
+def pattern_lnl_categories(tree, model: ModelArrays, site: SiteData):
+    """[P, C] per-class pattern log-likelihood contributions
+    log(prop_c * L_cp) for the -wslr/-wslm/-wslmr writers
+    (printSiteLhCategory, /root/reference/phylotesting.cpp:243-310).
+
+    Matches the reference convention: the +I invariable class is NOT
+    split into the columns (its mass lives in the total only), and
+    props already carry the (1 - p_inv) scaling."""
+    trans = branch_transition_mats(model, tree.blen)
+    tips = tip_partials(site, model.ncat)
+    up, up_scale = upward_pass(tree, trans, tips)
+    root = tree.root
+    l_cp = jnp.einsum(
+        "cs,csp->cp", model.state_freq, up[root],
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    l_cp = jnp.maximum(l_cp * model.props[:, None], SCALE_TINY)
+    return (jnp.log(l_cp) + up_scale[root][None, :]).T  # [P, C]

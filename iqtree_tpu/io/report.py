@@ -222,3 +222,61 @@ def write_site_lnl(path: str, aln, pattern_lnl: np.ndarray):
     with open(path, "w") as f:
         f.write(f"# Site log-likelihoods\n1 {aln.n_sites}\n")
         f.write("Site_Lh   " + " ".join(f"{x:.5f}" for x in site_lnl) + "\n")
+
+
+def write_site_lnl_category(
+    path: str, aln, pattern_lnl, pattern_lnl_cat, mode: str,
+    rates, n_mix: int = 1, n_rate: int = 1,
+):
+    """.sitelh with per-class columns — the reference's -wslr / -wslm /
+    -wslmr outputs (printSiteLhCategory,
+    /root/reference/phylotesting.cpp:243-310).
+
+    mode: "RATECAT" (one column per rate class), "MIXTURE" (per mixture
+    class, summed over rate classes), "MIXTURE_RATECAT" (per (m, r)
+    pair).  pattern_lnl_cat is [P, C] of log(prop_c * L_cp) with the
+    engine's fused class axis (m-major); `rates` are the rate-class
+    rates for the header."""
+    import numpy as np
+
+    cat = np.asarray(pattern_lnl_cat, dtype=np.float64)
+    P, C = cat.shape
+    if mode == "MIXTURE" and n_rate > 1:
+        # collapse the rate axis in probability space
+        cat = cat.reshape(P, n_mix, n_rate)
+        m = cat.max(axis=2, keepdims=True)
+        cat = (np.log(np.exp(cat - m).sum(axis=2)) + m[:, :, 0])
+    site_cat = cat[aln.site_to_pattern]
+    site_lnl = np.asarray(pattern_lnl)[aln.site_to_pattern]
+    with open(path, "w") as f:
+        f.write("Note : P(D|M) is the probability of site D given the "
+                "model M (i.e., the site likelihood)\n")
+        if mode == "RATECAT":
+            f.write("P(D|M,rr[i]) is the probability of site D given the "
+                    "model M and the relative rate\n"
+                    "of evolution rr[i], where i is the class of rate to "
+                    "be considered.\n"
+                    "We have P(D|M) = \\sum_i P(i) x P(D|M,rr[i]).\n\n")
+            hdr = [f"log{{P({i+1})xP(D|M,rr[{i+1}]={rates[i]:g})}}"
+                   for i in range(site_cat.shape[1])]
+        elif mode == "MIXTURE":
+            f.write("P(D|M[i]) is the probability of site D given the "
+                    "model M[i],\n"
+                    "where i is the mixture class to be considered.\n"
+                    "We have P(D|M) = \\sum_i P(i) x P(D|M[i]).\n\n")
+            hdr = [f"log{{P({i+1})xP(D|M[{i+1}])}}"
+                   for i in range(site_cat.shape[1])]
+        else:  # MIXTURE_RATECAT
+            f.write("P(D|M[i],rr[j]) is the probability of site D given "
+                    "the model M[i] and the relative rate\n"
+                    "of evolution rr[j], where i and j are the mixture "
+                    "class and rate class, respectively.\n"
+                    "We have P(D|M) = \\sum_i \\sum_j P(i) x P(j) x "
+                    "P(D|M[i],rr[j]).\n\n")
+            hdr = [f"log{{P({i+1})xP({j+1})xP(D|M[{i+1}],rr[{j+1}]="
+                   f"{rates[j]:g})}}"
+                   for i in range(n_mix) for j in range(n_rate)]
+        f.write("Site   logP(D|M)       " + " ".join(hdr) + "\n")
+        for s in range(aln.n_sites):
+            vals = " ".join(f"{v:<15.5f}" for v in site_cat[s])
+            f.write(f"{s+1:<6d} {site_lnl[s]:<15.5f} {vals}\n")

@@ -57,6 +57,32 @@ class SuperAlignment:
     def num_informative_sites(self) -> int:
         return sum(p.num_informative_sites() for p in self.partitions)
 
+    def bootstrap_pattern_freqs(self, rng, spec=None):
+        """One bootstrap resample: per-partition pattern-frequency
+        vectors (SuperAlignment::createBootstrapAlignment,
+        /root/reference/superalignment.cpp:333-367).
+
+        spec=None      resample sites within each gene (default)
+        spec="GENE"    resample whole genes with replacement: each drawn
+                       gene contributes its full pattern frequencies
+        spec="GENESITE" draw genes, then resample sites within each draw
+        """
+        K = self.n_parts
+        if spec and spec.upper().startswith("GENE"):
+            genesite = spec.upper().startswith("GENESITE")
+            freqs = [np.zeros(p.n_patterns) for p in self.partitions]
+            for _ in range(K):
+                part = int(rng.integers(K))
+                p = self.partitions[part]
+                if genesite:
+                    freqs[part] += rng.multinomial(
+                        p.n_sites, p.pattern_freq / p.pattern_freq.sum()
+                    )
+                else:
+                    freqs[part] += p.pattern_freq
+            return freqs
+        return [p.bootstrap_pattern_freq(rng) for p in self.partitions]
+
     @classmethod
     def from_files(
         cls,

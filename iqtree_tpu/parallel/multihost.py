@@ -88,18 +88,30 @@ def is_multihost() -> bool:
 
 
 def broadcast_host_data(data, is_source: Optional[bool] = None):
-    """Broadcast a small host-side pytree from process 0 to every host
+    """Broadcast a small host-side object from process 0 to every host
     (the analogue of PLL's topology Bcast,
-    genericParallelization.c:138-171).  No-op in single-process runs."""
+    genericParallelization.c:138-171).  Handles arbitrary picklable
+    payloads — Newick strings included, which raw broadcast_one_to_all
+    rejects — via a two-phase (length, bytes) array broadcast.  No-op
+    in single-process runs."""
+    import pickle
+
     import jax
 
     if not is_multihost():
         return data
+    import numpy as np
     from jax.experimental import multihost_utils
 
-    return multihost_utils.broadcast_one_to_all(
-        data, is_source=is_source
+    if is_source is None:
+        is_source = jax.process_index() == 0
+    buf = pickle.dumps(data) if is_source else b""
+    n = multihost_utils.broadcast_one_to_all(
+        np.array([len(buf)], np.int32), is_source=is_source
     )
+    arr = np.frombuffer(buf.ljust(int(n[0]), b"\0"), np.uint8)
+    out = multihost_utils.broadcast_one_to_all(arr, is_source=is_source)
+    return pickle.loads(out.tobytes())
 
 
 def sync_global_flag(flag: bool) -> bool:

@@ -354,6 +354,15 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         opt, ta, site, params=mparams, rounds=15, tol=0.001
     )
     best_tree.blen = ta.host_blen()
+    # multi-host: rank 0's final tree is authoritative so every host
+    # writes identical outputs even if tie-breaking diverged (the PLL
+    # master-topology broadcast, genericParallelization.c:138-171);
+    # no-op single-process
+    from ..parallel.multihost import broadcast_host_data, is_multihost
+
+    if is_multihost():
+        nwk = broadcast_host_data(best_tree.to_newick(aln.names))
+        best_tree = PhyloTree.from_newick(nwk, aln.names)
     subst, rate = opt.unpack(mparams)
     if ckp is not None:
         # separate key: overwriting search.mparams here would make a

@@ -110,10 +110,17 @@ class StopRule:
     def should_stop(self) -> bool:
         if self.fixed_iterations is not None:
             return self.cur_iteration >= self.fixed_iterations
-        if self.max_seconds is not None and (
-            time.time() - self.start_time
-        ) >= self.max_seconds:
-            return True
+        if self.max_seconds is not None:
+            # wall clocks diverge between hosts in a multi-host run: the
+            # decision must be global or the SPMD programs desynchronize
+            # (the PLL-MPI analogue of the master's stop broadcast,
+            # pll/genericParallelization.c:105-282).  sync_global_flag is
+            # a no-op single-process.
+            from ..parallel.multihost import sync_global_flag
+
+            hit = (time.time() - self.start_time) >= self.max_seconds
+            if sync_global_flag(hit):
+                return True
         if self.cur_iteration >= self.max_iterations:
             return True
         if self.weibull:

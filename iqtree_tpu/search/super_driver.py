@@ -239,6 +239,7 @@ def run_search_partitioned(
     params: SearchParams,
     mode: str = MODE_JOINT,
     model_strs: Optional[List[Optional[str]]] = None,
+    pattern_freqs: Optional[List[np.ndarray]] = None,
 ) -> PartitionedSearchResult:
     t_start = time.time()
     rng = np.random.default_rng(params.seed)
@@ -255,8 +256,15 @@ def run_search_partitioned(
         ms = ms or saln.defs[k].model or params.model or default_model(aln_k)
         subst, rate = parse_model_string(ms, aln_k)
         opts.append(ModelOptimizer(subst, rate, dtype=dtype))
-        sites.append(SiteData.from_alignment(aln_k, dtype,
-                                             asc=getattr(subst, "asc", False)))
+        sd = SiteData.from_alignment(aln_k, dtype,
+                                     asc=getattr(subst, "asc", False))
+        if pattern_freqs is not None:
+            # bootstrap resample (-b under -sp/-spp; -bspec GENE/GENESITE
+            # semantics resolved by SuperAlignment.bootstrap_pattern_freqs)
+            pf = np.asarray(sd.pattern_freq).copy()
+            pf[: len(pattern_freqs[k])] = pattern_freqs[k]  # +ASC rows stay 0
+            sd = sd._replace(pattern_freq=jnp.asarray(pf, dtype))
+        sites.append(sd)
         log(f"Partition {saln.defs[k].name}: {aln_k.n_sites} sites, "
             f"{aln_k.n_patterns} patterns, model {ms}")
     popt = PartitionOptimizer(opts, mode=mode, dtype=dtype)
