@@ -377,14 +377,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         log(f"  WH-test report:                {prefix}.whtest")
 
     # ---- likelihood mapping (-lmap; quartet.cpp doLikelihoodMapping) --
-    if cfg.lmap > 0:
+    if cfg.lmap > 0 or cfg.lmap_cluster_file:
         import jax
 
         from .engine.likelihood import SiteData, TreeArrays
-        from .engine.quartet import likelihood_mapping
+        from .engine.quartet import likelihood_mapping, read_lmap_clusters
         from .models.optimize import ModelOptimizer
 
-        log(f"Likelihood mapping with {cfg.lmap} random quartets...")
+        clusters = None
+        if cfg.lmap_cluster_file:
+            clusters = read_lmap_clusters(cfg.lmap_cluster_file, aln.names)
+            log(f"Likelihood mapping with {clusters.n_groups} clusters "
+                f"({', '.join(clusters.names)}); "
+                f"{clusters.unique_quartets()} unique quartets")
+        log(f"Likelihood mapping with "
+            f"{cfg.lmap or 'all unique'} quartets...")
         opt_lm = ModelOptimizer(subst, rate, dtype=dtype)
         ma_lm = jax.jit(opt_lm.build)(opt_lm.init_params())
         lm = likelihood_mapping(
@@ -393,10 +400,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             aln.n_taxa,
             cfg.lmap,
             np.random.default_rng(cfg.seed),
+            clusters=clusters,
         )
         lm.write_svg(prefix + ".lmap.svg")
+        lm.write_eps(prefix + ".lmap.eps")
         log(lm.summary())
-        log(f"  Likelihood mapping plot:       {prefix}.lmap.svg")
+        log(f"  Likelihood mapping plot:       {prefix}.lmap.svg / .eps")
         if cfg.write_quartet_lh:
             with open(prefix + ".quartetlh", "w") as f:
                 for q, l, w in zip(lm.quartets, lm.lnls, lm.weights):

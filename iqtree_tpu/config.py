@@ -84,6 +84,7 @@ class RunConfig:
     partition_file: Optional[str] = None  # -sp/-spp/-q/-spj file
     partition_mode: Optional[str] = None  # unlinked|proportional|joint
     lmap: int = 0  # -lmap: number of likelihood-mapping quartets
+    lmap_cluster_file: Optional[str] = None  # -lmclust 2/3/4-cluster file
     write_quartet_lh: bool = False  # -wql
     # utility modes (no alignment required; pda.cpp:2436-2480 dispatch)
     consensus_file: Optional[str] = None  # -con FILE
@@ -259,6 +260,9 @@ def parse_args(argv) -> RunConfig:
                    help="partition file; edge-linked equal (joint)")
     p.add_argument("-lmap", dest="lmap", type=int, default=0,
                    help="likelihood mapping with this many random quartets")
+    p.add_argument("-lmclust", dest="lmclust", default=None,
+                   help="likelihood-mapping cluster file (2-4 clusters, "
+                        "NEXUS taxsets or '(t1,t2,...) Name' lines)")
     p.add_argument("-wql", dest="wql", action="store_true",
                    help="write quartet log-likelihoods (-lmap)")
     p.add_argument("-con", dest="con", default=None, metavar="FILE",
@@ -432,6 +436,7 @@ def parse_args(argv) -> RunConfig:
             "joint" if a.spj else None
         ),
         lmap=a.lmap,
+        lmap_cluster_file=a.lmclust,
         write_quartet_lh=a.wql,
         consensus_file=a.con,
         network_file=a.net,

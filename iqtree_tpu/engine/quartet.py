@@ -148,6 +148,9 @@ class LikelihoodMapping:
     lnls: np.ndarray  # [Q, 3]
     weights: np.ndarray  # [Q, 3] likelihood weights
     areas: np.ndarray  # [Q] 0-6
+    # cluster-labeled corner captions for -lmclust output
+    # (quartet.cpp:115-200); None = plain t1/t2/t3 labels
+    corners: Optional[Tuple[str, str, str]] = None
 
     @property
     def n_quartets(self) -> int:
@@ -201,13 +204,15 @@ class LikelihoodMapping:
             f'<circle cx="{x:.1f}" cy="{y:.1f}" r="1.6" fill="#1f6feb" '
             f'fill-opacity="0.6"/>' for x, y in pts
         )
+        l1, l2, l3 = self.corners or ("t1 (ab|cd)", "t2 (ac|bd)",
+                                      "t3 (ad|bc)")
         svg = f"""<?xml version="1.0"?>
 <svg xmlns="http://www.w3.org/2000/svg" width="{W}" height="{H}">
 <polygon points="{ax},{ay} {cx},{cy} {bx},{by}" fill="none"
  stroke="#333" stroke-width="1.5"/>
-<text x="{ax}" y="{ay - 8}" text-anchor="middle" font-size="13">t1 (ab|cd)</text>
-<text x="{cx}" y="{cy + 16}" text-anchor="middle" font-size="13">t2 (ac|bd)</text>
-<text x="{bx}" y="{by + 16}" text-anchor="middle" font-size="13">t3 (ad|bc)</text>
+<text x="{ax}" y="{ay - 8}" text-anchor="middle" font-size="13">{l1}</text>
+<text x="{cx}" y="{cy + 16}" text-anchor="middle" font-size="13">{l2}</text>
+<text x="{bx}" y="{by + 16}" text-anchor="middle" font-size="13">{l3}</text>
 {dots}
 <text x="{W / 2}" y="{H - 4}" text-anchor="middle" font-size="11">
 {self.resolved * 100:.1f}% resolved / {self.partly_resolved * 100:.1f}% partly
@@ -217,6 +222,34 @@ class LikelihoodMapping:
         with open(path, "w") as f:
             f.write(svg)
 
+    def write_eps(self, path: str):
+        """EPS triangle plot — the reference writes both .eps and .svg
+        (finishLikelihoodMapping, quartet.cpp:366-670 initeps)."""
+        W, H = 560.0, 520.0
+        ax, ay = W / 2, H - 30.0
+        bx, by = 30.0, 30.0
+        cx, cy = W - 30.0, 30.0
+        l1, l2, l3 = self.corners or ("t1 (ab|cd)", "t2 (ac|bd)",
+                                      "t3 (ad|bc)")
+        out = [
+            "%!PS-Adobe-3.0 EPSF-3.0",
+            f"%%BoundingBox: 0 0 {W:.0f} {H:.0f}",
+            "%%Title: Likelihood mapping (iqtree_tpu)",
+            "/Helvetica findfont 11 scalefont setfont",
+            f"newpath {ax} {ay} moveto {cx} {cy} lineto {bx} {by} lineto "
+            "closepath 0.5 setlinewidth stroke",
+            f"{ax - 30} {ay + 8} moveto ({l1}) show",
+            f"{cx - 60} {cy - 16} moveto ({l2}) show",
+            f"{bx - 20} {by - 16} moveto ({l3}) show",
+        ]
+        for w in self.weights:
+            x = w[0] * ax + w[1] * cx + w[2] * bx
+            y = w[0] * ay + w[1] * cy + w[2] * by
+            out.append(f"newpath {x:.1f} {y:.1f} 1.4 0 360 arc fill")
+        out.append("showpage")
+        with open(path, "w") as f:
+            f.write("\n".join(out) + "\n")
+
 
 def likelihood_mapping(
     model: ModelArrays,
@@ -225,12 +258,16 @@ def likelihood_mapping(
     n_quartets: int,
     rng: np.random.Generator,
     n_iter: int = 8,
+    clusters: Optional["LmapClusters"] = None,
 ) -> LikelihoodMapping:
-    """Sample random quartets and map them (doLikelihoodMapping,
-    quartet.cpp:1345)."""
-    qs = np.empty((n_quartets, 4), dtype=np.int32)
-    for i in range(n_quartets):
-        qs[i] = rng.choice(n_taxa, 4, replace=False)
+    """Sample random quartets (or cluster-constrained quartets with
+    -lmclust) and map them (doLikelihoodMapping, quartet.cpp:1345)."""
+    if clusters is not None:
+        qs = sample_cluster_quartets(clusters, n_quartets, rng)
+    else:
+        qs = np.empty((n_quartets, 4), dtype=np.int32)
+        for i in range(n_quartets):
+            qs[i] = rng.choice(n_taxa, 4, replace=False)
     lnls = np.asarray(
         jax.jit(lambda m, s, q: quartet_lnls(m, s, q, n_iter))(
             model, site, jnp.asarray(qs)
@@ -241,5 +278,128 @@ def likelihood_mapping(
     w = np.exp(shifted)
     w = w / w.sum(axis=1, keepdims=True)
     return LikelihoodMapping(
-        quartets=qs, lnls=lnls, weights=w, areas=region_assign(w)
+        quartets=qs, lnls=lnls, weights=w, areas=region_assign(w),
+        corners=clusters.corner_labels() if clusters is not None else None,
     )
+
+
+# ---- cluster (-lmclust) support -------------------------------------
+# (readLikelihoodMappingGroups, /root/reference/quartet.cpp:1231-1345;
+#  quartet sampling per cluster count :710-880)
+
+@dataclass
+class LmapClusters:
+    names: List[str]  # cluster names (2-4 entries, 'ignored' excluded)
+    groups: List[List[int]]  # taxon ids per cluster
+    ignored: List[int]
+
+    @property
+    def n_groups(self) -> int:
+        return len(self.groups)
+
+    def unique_quartets(self) -> int:
+        s = [len(g) for g in self.groups]
+        if self.n_groups == 2:
+            return (s[0] * (s[0] - 1)) // 2 * (s[1] * (s[1] - 1)) // 2
+        if self.n_groups == 3:
+            return s[0] * s[1] * (s[2] * (s[2] - 1)) // 2
+        if self.n_groups == 4:
+            return s[0] * s[1] * s[2] * s[3]
+        raise ValueError("2-4 clusters required")
+
+    def corner_labels(self):
+        """(t1, t2, t3) corner captions — the cluster-labeled quartet
+        splits of the reference SVG (quartet.cpp:115-200)."""
+        n = self.names
+        if self.n_groups == 2:
+            return (f"({n[0]},{n[0]})-({n[1]},{n[1]})",
+                    f"({n[0]},{n[1]})-({n[0]},{n[1]})",
+                    f"({n[0]},{n[1]})-({n[0]},{n[1]})")
+        if self.n_groups == 3:
+            return (f"({n[0]},{n[1]})-({n[2]},{n[2]})",
+                    f"({n[0]},{n[2]})-({n[1]},{n[2]})",
+                    f"({n[0]},{n[2]})-({n[1]},{n[2]})")
+        return (f"({n[0]},{n[1]})-({n[2]},{n[3]})",
+                f"({n[0]},{n[2]})-({n[1]},{n[3]})",
+                f"({n[0]},{n[3]})-({n[1]},{n[2]})")
+
+
+def read_lmap_clusters(path: str, names: List[str]) -> LmapClusters:
+    """-lmclust file: NEXUS `taxset NAME = t1 t2 ...;` sets or the
+    RAxML-style `(t1, t2, t3) NAME` lines; a cluster named
+    'ignored'/'IGNORED' lists sequences excluded from the analysis."""
+    import re
+
+    name_to_id = {n: i for i, n in enumerate(names)}
+    text = open(path).read()
+    sets: List[Tuple[str, List[str]]] = []
+    if text.lstrip().lower().startswith("#nexus"):
+        for m in re.finditer(r"taxset\s+(\S+)\s*=\s*([^;]+);", text,
+                             re.IGNORECASE):
+            sets.append((m.group(1), m.group(2).split()))
+    else:
+        for m in re.finditer(r"\(([^)]*)\)\s*([^\s(]*)", text):
+            taxa = [t.strip() for t in m.group(1).split(",") if t.strip()]
+            nm = m.group(2).strip() or f"Cluster{len(sets) + 1}"
+            sets.append((nm, taxa))
+    if not sets:
+        raise ValueError(f"no clusters found in {path}")
+    groups, gnames, ignored = [], [], []
+    for nm, taxa in sets:
+        ids = []
+        for t in taxa:
+            if t in name_to_id:
+                ids.append(name_to_id[t])
+            else:
+                print(f"Warning: unknown sequence name \"{t}\"! "
+                      f"Will be ignored.")
+        if nm.lower() == "ignored":
+            ignored = ids
+        else:
+            gnames.append(nm)
+            groups.append(ids)
+    if not (2 <= len(groups) <= 4):
+        raise ValueError("-lmclust requires 2-4 clusters "
+                         "(plus an optional 'ignored' cluster)")
+    mins = {2: (2, 2), 3: (1, 1, 2), 4: (1, 1, 1, 1)}[len(groups)]
+    for g, mn in zip(groups, mins):
+        if len(g) < mn:
+            raise ValueError("cluster too small for likelihood mapping "
+                             f"(needs >= {mn} taxa)")
+    return LmapClusters(names=gnames, groups=groups, ignored=ignored)
+
+
+def sample_cluster_quartets(
+    clusters: LmapClusters, n_quartets: int, rng: np.random.Generator
+) -> np.ndarray:
+    """[Q, 4] quartets drawn per the reference's cluster semantics:
+    2 clusters -> (a,a,b,b); 3 -> (a,b,c,c); 4 -> (a,b,c,d)
+    (computeQuartetLikelihoods, quartet.cpp:765-880).  n_quartets==0 or
+    >= the unique count enumerates ALL unique quartets."""
+    import itertools
+
+    g = clusters.groups
+    uq = clusters.unique_quartets()
+    if n_quartets == 0 or n_quartets >= uq:
+        if clusters.n_groups == 2:
+            combos = [(a1, a2, b1, b2)
+                      for a1, a2 in itertools.combinations(g[0], 2)
+                      for b1, b2 in itertools.combinations(g[1], 2)]
+        elif clusters.n_groups == 3:
+            combos = [(a, b, c1, c2) for a in g[0] for b in g[1]
+                      for c1, c2 in itertools.combinations(g[2], 2)]
+        else:
+            combos = list(itertools.product(*g))
+        return np.asarray(combos, dtype=np.int32)
+    qs = np.empty((n_quartets, 4), dtype=np.int32)
+    for i in range(n_quartets):
+        if clusters.n_groups == 2:
+            a = rng.choice(g[0], 2, replace=False)
+            b = rng.choice(g[1], 2, replace=False)
+            qs[i] = [a[0], a[1], b[0], b[1]]
+        elif clusters.n_groups == 3:
+            c = rng.choice(g[2], 2, replace=False)
+            qs[i] = [rng.choice(g[0]), rng.choice(g[1]), c[0], c[1]]
+        else:
+            qs[i] = [rng.choice(gr) for gr in g]
+    return qs

@@ -88,3 +88,77 @@ def test_likelihood_mapping_end_to_end(setup, tmp_path):
     lm.write_svg(str(svg))
     assert svg.read_text().startswith("<?xml")
     assert "LIKELIHOOD MAPPING" in lm.summary()
+
+
+def test_lmclust_read_sample_and_labels(tmp_path, setup):
+    """-lmclust: cluster parsing (both formats), reference quartet-
+    drawing semantics, and cluster-labeled corners
+    (quartet.cpp:115-200,1231-1345)."""
+    from iqtree_tpu.engine.quartet import (LmapClusters,
+                                           read_lmap_clusters,
+                                           sample_cluster_quartets)
+
+    aln, ma, site = setup
+    names = aln.names
+    # RAxML-style file: 2 clusters + ignored
+    f = tmp_path / "clusters.txt"
+    f.write_text(
+        f"({names[0]}, {names[1]}, {names[2]}) Left\n"
+        f"({names[3]}, {names[4]}, {names[5]}, {names[6]}) Right\n"
+        f"({names[7]}) ignored\n"
+    )
+    cl = read_lmap_clusters(str(f), names)
+    assert cl.n_groups == 2
+    assert cl.names == ["Left", "Right"]
+    assert cl.groups[0] == [0, 1, 2] and cl.groups[1] == [3, 4, 5, 6]
+    assert cl.ignored == [7]
+    assert cl.unique_quartets() == 3 * 6  # C(3,2)*C(4,2)
+
+    # enumeration covers all unique quartets with (a,a,b,b) structure
+    rng = np.random.default_rng(0)
+    qs = sample_cluster_quartets(cl, 0, rng)
+    assert qs.shape == (18, 4)
+    assert all(q[0] in cl.groups[0] and q[1] in cl.groups[0]
+               and q[2] in cl.groups[1] and q[3] in cl.groups[1]
+               for q in qs)
+    # random sampling respects cluster membership too
+    qs2 = sample_cluster_quartets(cl, 7, rng)
+    assert qs2.shape == (7, 4)
+    assert all(q[2] in cl.groups[1] and q[3] in cl.groups[1] for q in qs2)
+
+    lab = cl.corner_labels()
+    assert lab[0] == "(Left,Left)-(Right,Right)"
+
+    # NEXUS taxset format
+    f2 = tmp_path / "clusters.nex"
+    f2.write_text(
+        "#nexus\nbegin sets;\n"
+        f"  taxset A = {names[0]} {names[1]};\n"
+        f"  taxset B = {names[2]} {names[3]};\n"
+        f"  taxset C = {names[4]} {names[5]} {names[6]};\n"
+        "end;\n"
+    )
+    cl3 = read_lmap_clusters(str(f2), names)
+    assert cl3.n_groups == 3
+    assert cl3.unique_quartets() == 2 * 2 * 3  # A*B*C(3,2)
+    qs3 = sample_cluster_quartets(cl3, 0, np.random.default_rng(1))
+    assert qs3.shape == (12, 4)
+
+    # 4-cluster end-to-end mapping with labeled SVG + EPS
+    f4 = tmp_path / "c4.txt"
+    f4.write_text(
+        f"({names[0]},{names[1]}) W\n({names[2]},{names[3]}) X\n"
+        f"({names[4]},{names[5]}) Y\n({names[6]},{names[7]}) Z\n"
+    )
+    cl4 = read_lmap_clusters(str(f4), names)
+    lm = likelihood_mapping(ma, site, aln.n_taxa, 0,
+                            np.random.default_rng(2), clusters=cl4)
+    assert lm.n_quartets == 16
+    assert lm.corners == ("(W,X)-(Y,Z)", "(W,Y)-(X,Z)", "(W,Z)-(X,Y)")
+    svg = tmp_path / "o.svg"
+    eps = tmp_path / "o.eps"
+    lm.write_svg(str(svg))
+    lm.write_eps(str(eps))
+    assert "(W,X)-(Y,Z)" in svg.read_text()
+    t = eps.read_text()
+    assert t.startswith("%!PS-Adobe") and "(W,Y)-(X,Z)" in t

@@ -117,3 +117,56 @@ def test_partitioned_search_end_to_end(super_aln):
     res.best_tree.check()
     # search should land well above a random-tree likelihood
     assert res.best_lnl > -25000
+
+
+def test_bspec_gene_and_genesite_resampling():
+    """-bspec GENE/GENESITE semantics vs a NumPy oracle
+    (SuperAlignment::createBootstrapAlignment,
+    /root/reference/superalignment.cpp:333-367)."""
+    import numpy as np
+
+    from iqtree_tpu.io.superalignment import SuperAlignment
+
+    saln = SuperAlignment.from_files(
+        "tests/data/example.phy", "tests/data/example.nex"
+    )
+    K = saln.n_parts
+    tot_sites = [p.n_sites for p in saln.partitions]
+
+    # GENE: every drawn gene contributes its FULL pattern-freq vector ->
+    # each partition's freq is an integer multiple of its original
+    rng = np.random.default_rng(5)
+    freqs = saln.bootstrap_pattern_freqs(rng, "GENE")
+    assert len(freqs) == K
+    mults = []
+    for k in range(K):
+        pf = saln.partitions[k].pattern_freq
+        with np.errstate(invalid="ignore"):
+            ratio = np.where(pf > 0, freqs[k] / pf, 0)
+        m = ratio.max()
+        assert np.allclose(freqs[k], m * pf), "GENE must copy whole genes"
+        mults.append(int(m))
+    # total drawn genes == K
+    assert sum(mults) == K
+    # total sites conserved only in expectation — but each gene's
+    # contribution is multiples of its site count
+    assert sum(m * n for m, n in zip(mults, tot_sites)) == sum(
+        int(f.sum()) for f in freqs
+    )
+
+    # GENESITE: sites resampled within drawn genes -> per drawn gene the
+    # site total matches that gene's length
+    rng = np.random.default_rng(6)
+    freqs2 = saln.bootstrap_pattern_freqs(rng, "GENESITE")
+    drawn_totals = [int(f.sum()) for f in freqs2]
+    assert sum(drawn_totals) == sum(
+        tot_sites[k] * m for k, m in enumerate(
+            [int(round(t / tot_sites[k])) for k, t in enumerate(drawn_totals)]
+        )
+    )
+
+    # default: per-partition site resampling conserves each gene's length
+    rng = np.random.default_rng(7)
+    freqs3 = saln.bootstrap_pattern_freqs(rng, None)
+    for k in range(K):
+        assert int(freqs3[k].sum()) == tot_sites[k]
