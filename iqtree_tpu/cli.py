@@ -1047,6 +1047,7 @@ def _run_search(cfg, aln, model_str, dtype, log, ckp=None):
         stop_confidence=cfg.stop_confidence,
         dtype=dtype,
         start_tree=open(cfg.user_tree).read() if cfg.user_tree else None,
+        dist_file=cfg.dist_file,
         log=log,
         ufboot=cfg.ufboot,
         min_correlation=cfg.min_correlation,

@@ -24,6 +24,7 @@ class RunConfig:
     fix_topology: bool = False  # -te given
     fix_branch_lengths: bool = False  # -blfix / -fixbr
     site_freq_file: Optional[str] = None  # -fs (+SSF site-specific freqs)
+    dist_file: Optional[str] = None  # -d user pairwise distances -> BIONJ
     treeset_file: Optional[str] = None  # -z user trees to evaluate/test
     topotest_replicates: int = 0  # -zb RELL replicates for topology tests
     do_weighted_test: bool = False  # -zw (WKH + WSH)
@@ -137,6 +138,9 @@ def parse_args(argv) -> RunConfig:
                    help="starting tree file (topology may change)")
     p.add_argument("-te", dest="user_tree", default=None,
                    help="user tree file (fixed topology)")
+    p.add_argument("-d", dest="dist_file", default=None,
+                   help="user pairwise-distance file (PHYLIP square) "
+                        "for the BIONJ start tree")
     p.add_argument("-fs", dest="site_freq_file", default=None,
                    help="site-specific state-frequency file (+SSF model)")
     p.add_argument("-z", dest="treeset_file", default=None,
@@ -371,6 +375,7 @@ def parse_args(argv) -> RunConfig:
         fix_topology=a.user_tree is not None,
         fix_branch_lengths=a.fix_bl,
         site_freq_file=a.site_freq_file,
+        dist_file=a.dist_file,
         treeset_file=a.treeset_file,
         topotest_replicates=a.topotest_replicates,
         do_weighted_test=a.do_weighted_test,

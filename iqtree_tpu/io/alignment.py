@@ -690,3 +690,37 @@ _READERS = {
     "msf": _read_msf,
     "nexus": _read_nexus,
 }
+
+
+def read_dist_file(path: str, names: List[str]) -> np.ndarray:
+    """User-supplied pairwise distance matrix (-d): PHYLIP square format
+    'N' then one row per taxon 'name d1 .. dN'; rows may come in any
+    order — they are mapped to the alignment's taxon order by name
+    (Alignment::readDist, /root/reference/alignment.cpp:2622-2692)."""
+    toks = open(path).read().split()
+    n = int(toks[0])
+    if n != len(names):
+        raise ValueError(
+            f"distance file has {n} taxa but alignment has {len(names)}"
+        )
+    pos = 1
+    rows = {}
+    for _ in range(n):
+        nm = toks[pos]
+        pos += 1
+        rows[nm] = np.array([float(x) for x in toks[pos:pos + n]])
+        pos += n
+    order = []
+    for nm in names:
+        if nm not in rows:
+            raise ValueError(f"taxon {nm!r} missing from distance file")
+        order.append(nm)
+    # column order in the file follows the file's row order
+    file_names = list(rows)
+    col = {nm: i for i, nm in enumerate(file_names)}
+    D = np.zeros((n, n))
+    for i, nm in enumerate(names):
+        D[i] = rows[nm][[col[m] for m in names]]
+    if not np.allclose(D, D.T, atol=1e-8):
+        D = 0.5 * (D + D.T)  # reference symmetrizes implicitly via BIONJ
+    return D

@@ -63,6 +63,7 @@ class SearchParams:
     dtype: object = jnp.float64
     nni5: bool = True
     start_tree: Optional[str] = None  # newick string (-t/-te)
+    dist_file: Optional[str] = None  # -d: user distances feed BIONJ
     log: Callable[[str], None] = print
     # UFBoot (-bb): replicates; correlation checked every step_iterations
     ufboot: int = 0
@@ -165,6 +166,15 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     if params.start_tree:
         tree = PhyloTree.from_newick(params.start_tree, aln.names, rng=rng)
         log("Using user start tree")
+    elif params.dist_file:
+        # -d: user-supplied distances replace the ML-distance pass
+        # (computeInitialDist, /root/reference/phyloanalysis.cpp:1222)
+        from ..io.alignment import read_dist_file
+
+        log(f"Reading distance matrix from {params.dist_file}...")
+        dist = read_dist_file(params.dist_file, aln.names)
+        tree = bionj_tree(dist)
+        log("BIONJ start tree from user distances")
     else:
         log("Computing ML pairwise distances + BIONJ start tree...")
         ma0 = ModelOptimizer(subst, rate, dtype=dtype).build(

@@ -48,10 +48,19 @@ CASES = [
     ("dna_gtr_i_g_te", "exact", "-s {aln} -m GTR+I+G -te {tree}"),
     ("prot_lgg_te", "exact", "-s {prot} -m LG+G -te {ptree}"),
     ("spp_te", "exact", "-s {aln} -spp {nex} -te {sptree}"),
+    # codon + site-specific-frequency fixed-topology fits
+    ("codon_gy_te", "exact", "-s {codon} -st CODON -m GY+F3X4 -te {ctree}"),
+    ("ssf_hkyg_te", "exact",
+     "-s {aln} -m HKY{{2.0}}+G{{0.8}} -fs {ssf} -te {tree} -blfix"),
     # searches: ours must reach at least the reference's lnL
     ("dna_search_hkyg", "geq", "-s {aln} -m HKY+G -seed 7"),
     ("dna_search_bb", "geq", "-s {aln} -m HKY+G -bb 1000 -seed 7"),
     ("dna_search_alrt", "geq", "-s {aln} -m HKY+G -alrt 1000 -seed 7"),
+    # topology tests: user-tree set evaluation (-z/-zb); exact lnL of the
+    # best user tree (p-values compared by eye in the .iqtree reports —
+    # the AU refinement intentionally differs, analysis/topotest.py)
+    ("dna_topotest", "exact",
+     "-s {aln} -m HKY+G -te {tree} -z {ztrees} -zb 1000"),
 ]
 
 SUBS = {
@@ -61,7 +70,44 @@ SUBS = {
     "sptree": os.path.join(DATA, "spp_golden.treefile"),
     "prot": os.path.join(DATA, "prot_M126_27_269.phy"),
     "ptree": os.path.join(DATA, "lg_golden.treefile"),
+    "codon": os.path.join(DATA, "example_codon.phy"),
+    "ctree": os.path.join(WORK, "gen", "codon.nwk"),
+    "ssf": os.path.join(WORK, "gen", "ssf_freqs.txt"),
+    "ztrees": os.path.join(WORK, "gen", "ztrees.nwk"),
 }
+
+
+def prepare_inputs():
+    """Deterministically generate the inputs the extended matrix needs
+    (codon start tree, per-site SSF frequency file, user-tree set)."""
+    import numpy as np
+
+    gen = os.path.join(WORK, "gen")
+    os.makedirs(gen, exist_ok=True)
+    sys.path.insert(0, REPO)
+    from iqtree_tpu.io.alignment import read_alignment
+    from iqtree_tpu.trees.tree import random_tree
+
+    if not os.path.exists(SUBS["ctree"]):
+        aln = read_alignment(SUBS["codon"], seq_type="CODON")
+        t = random_tree(aln.n_taxa, np.random.default_rng(3))
+        with open(SUBS["ctree"], "w") as f:
+            f.write(t.to_newick(aln.names) + "\n")
+    if not os.path.exists(SUBS["ssf"]):
+        aln = read_alignment(SUBS["aln"])
+        rng = np.random.default_rng(4)
+        with open(SUBS["ssf"], "w") as f:
+            for s in range(aln.n_sites):
+                fr = rng.dirichlet([8.0, 8.0, 8.0, 8.0])
+                f.write(f"{s + 1} " + " ".join(f"{x:.6f}" for x in fr)
+                        + "\n")
+    if not os.path.exists(SUBS["ztrees"]):
+        aln = read_alignment(SUBS["aln"])
+        rng = np.random.default_rng(5)
+        with open(SUBS["ztrees"], "w") as f:
+            for _ in range(4):
+                t = random_tree(aln.n_taxa, rng)
+                f.write(t.to_newick(aln.names) + "\n")
 
 
 def best_score(path_prefix: str) -> float:
@@ -139,6 +185,7 @@ def main():
               "-DCMAKE_C_FLAGS=-w /root/reference && make -j8")
         return 2
     os.makedirs(WORK, exist_ok=True)
+    prepare_inputs()
     failures = 0
     rows = []
     for name, mode, args in CASES:

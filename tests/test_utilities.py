@@ -201,3 +201,27 @@ def test_identical_groups_and_subset():
         open(p, "w").write(out + "\n")
         (t,), nm = read_trees(p)
         assert sorted(nm) == sorted(names)
+
+
+def test_read_dist_file_roundtrip(tmp_path):
+    """-d distance file: PHYLIP square, name-mapped row order
+    (Alignment::readDist, alignment.cpp:2622)."""
+    import numpy as np
+
+    from iqtree_tpu.io.alignment import read_dist_file
+    from iqtree_tpu.trees.bionj import bionj_tree
+
+    names = ["c", "a", "b", "d"]
+    rng = np.random.default_rng(0)
+    D = rng.random((4, 4)); D = (D + D.T); np.fill_diagonal(D, 0.0)
+    # write rows in a DIFFERENT order than `names`
+    order = [1, 3, 0, 2]
+    with open(tmp_path / "d.dist", "w") as f:
+        f.write("4\n")
+        for i in order:
+            f.write(names[i] + " " + " ".join(
+                f"{D[i, j]:.8f}" for j in order) + "\n")
+    D2 = read_dist_file(str(tmp_path / "d.dist"), names)
+    np.testing.assert_allclose(D2, D, atol=1e-7)
+    t = bionj_tree(D2)
+    assert t.n_taxa == 4

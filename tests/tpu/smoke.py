@@ -46,6 +46,9 @@ CONFIGS = [
     (1000, 10000, "DNA", "GTR+G"),
     (27, 269, "AA", "LG+G"),
     (200, 1000, "AA", "WAG+G"),
+    # S=61 codon: the one tiling regime the lane previously missed
+    # (state axis pads 61 -> 64; VERDICT r2 item 9)
+    (16, 300, "CODON", "GY+F3X4"),
 ]
 
 ALPHABETS = {
@@ -53,15 +56,20 @@ ALPHABETS = {
     "AA": list("ARNDCQEGHILKMFPSTWYV"),
 }
 
+_CODONS = [a + b + c for a in "TCAG" for b in "TCAG" for c in "TCAG"
+           if a + b + c not in ("TAA", "TAG", "TGA")]
+
 
 def run_config(n_taxa, n_sites, st, model_str):
     rng = np.random.default_rng(1234)
-    seqs = [
-        "".join(rng.choice(ALPHABETS[st], n_sites)) for _ in range(n_taxa)
-    ]
+    if st == "CODON":
+        seqs = ["".join(rng.choice(_CODONS, n_sites)) for _ in range(n_taxa)]
+    else:
+        seqs = [
+            "".join(rng.choice(ALPHABETS[st], n_sites)) for _ in range(n_taxa)
+        ]
     aln = Alignment.from_sequences(
-        [f"t{i}" for i in range(n_taxa)], seqs,
-        "DNA" if st == "DNA" else "AA",
+        [f"t{i}" for i in range(n_taxa)], seqs, st,
     )
     subst, rate = parse_model_string(model_str, aln)
     ma = ModelArrays.from_model(subst, rate, jnp.float32)
@@ -93,7 +101,10 @@ def run_config(n_taxa, n_sites, st, model_str):
     assert np.isfinite(g_f).all(), "non-finite fused gradient"
     denom = np.maximum(np.abs(g_x), 1e-2 * np.abs(g_x).max() + 1e-6)
     rel = np.max(np.abs(g_f - g_x) / denom)
-    assert rel < 5e-2, f"fused gradient mismatch: max rel {rel}"
+    # tightened from 5e-2 (VERDICT r2 item 9): a genuine cotangent bug
+    # should not hide under a loose f32 bound; 2e-3 leaves room for the
+    # fused kernels' different reduction order at f32
+    assert rel < 2e-3, f"fused gradient mismatch: max rel {rel}"
     return time.time() - t0, lnl_f
 
 
