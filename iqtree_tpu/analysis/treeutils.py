@@ -33,12 +33,21 @@ def _leaf_names(node, out):
 
 
 def read_trees(path: str, taxon_names: Optional[List[str]] = None,
-               rng: Optional[np.random.Generator] = None
+               rng: Optional[np.random.Generator] = None,
+               burnin: int = 0, max_count: int = 0,
                ) -> Tuple[List[PhyloTree], List[str]]:
     """Read a file of newick trees (one per line / ;-separated).
-    Taxon-name order is taken from the first tree unless given."""
+    Taxon-name order is taken from the first tree unless given.
+    burnin/max_count implement -bi/-tm (skip the first `burnin` trees,
+    then keep at most `max_count`; tools.cpp:1444,1452)."""
     text = open(path).read()
     chunks = [c.strip() + ";" for c in text.split(";") if c.strip()]
+    if burnin:
+        if burnin >= len(chunks):
+            raise ValueError(f"-bi {burnin} >= number of trees in {path}")
+        chunks = chunks[burnin:]
+    if max_count:
+        chunks = chunks[:max_count]
     if not chunks:
         raise ValueError(f"no trees in {path}")
     if taxon_names is None:
@@ -50,9 +59,10 @@ def read_trees(path: str, taxon_names: Optional[List[str]] = None,
 
 
 def run_consensus(tree_file: str, out_prefix: str, minsup: float = 0.0,
-                  log=print) -> PhyloTree:
+                  log=print, burnin: int = 0, max_count: int = 0,
+                  ) -> PhyloTree:
     """-con: majority-rule (extended) consensus of a tree set."""
-    trees, names = read_trees(tree_file)
+    trees, names = read_trees(tree_file, burnin=burnin, max_count=max_count)
     counter = SplitCounter(trees[0].n_taxa)
     for t in trees:
         counter.add_tree(t)
@@ -67,9 +77,11 @@ def run_consensus(tree_file: str, out_prefix: str, minsup: float = 0.0,
 
 
 def run_support_assignment(target_file: str, tree_file: str,
-                           out_prefix: str, log=print) -> PhyloTree:
+                           out_prefix: str, log=print,
+                           burnin: int = 0, max_count: int = 0,
+                           ) -> PhyloTree:
     """-sup: map split frequencies of a tree set onto a target tree."""
-    trees, names = read_trees(tree_file)
+    trees, names = read_trees(tree_file, burnin=burnin, max_count=max_count)
     target, _ = read_trees(target_file, taxon_names=names)
     target = target[0]
     counter = SplitCounter(target.n_taxa)
@@ -116,6 +128,28 @@ def generate_random_tree(
     n_taxa: int,
     rng: np.random.Generator,
     mode: str = "yule",  # yule | uniform | caterpillar | balanced | star
+    mean_blen: float = 0.1,
+    min_len: float = None,
+    mean_len: float = None,
+    max_len: float = None,
+) -> PhyloTree:
+    if mean_len is not None:
+        mean_blen = mean_len
+    t = _generate_random_tree(n_taxa, rng, mode, mean_blen)
+    if min_len is not None or max_len is not None:
+        # -rlen MIN MEAN MAX: clamp branch lengths into [MIN, MAX]
+        # (reference params.min_len/max_len, tools.cpp:1213-1219)
+        lo = min_len if min_len is not None else 0.0
+        hi = max_len if max_len is not None else np.inf
+        zero = t.blen == 0.0  # pinned root-child edge stays zero
+        t.blen = np.where(zero, 0.0, np.clip(t.blen, lo, hi))
+    return t
+
+
+def _generate_random_tree(
+    n_taxa: int,
+    rng: np.random.Generator,
+    mode: str = "yule",
     mean_blen: float = 0.1,
 ) -> PhyloTree:
     if mode == "yule":
@@ -233,14 +267,16 @@ def run_scale_branch_length(tree_file: str, factor: float,
 
 
 def run_consensus_network(tree_file: str, out_prefix: str,
-                          cutoff: float = 0.0, log=print) -> None:
+                          cutoff: float = 0.0, log=print,
+                          burnin: int = 0, max_count: int = 0,
+                          precision: int = 6) -> None:
     """-net: consensus network — ALL splits above the support cutoff
     (compatible or not) as a weighted split system in NEXUS format
     (computeConsensusNetwork, phyloanalysis.cpp:2877;
     SplitGraph::saveFileNexus output layout, splitgraph.cpp:562)."""
     from ..trees.splits import SplitCounter, tree_splits
 
-    trees, names = read_trees(tree_file)
+    trees, names = read_trees(tree_file, burnin=burnin, max_count=max_count)
     N = trees[0].n_taxa
     counter = SplitCounter(N)
     for t in trees:
@@ -263,7 +299,7 @@ def run_consensus_network(tree_file: str, out_prefix: str,
         out.append(f"\t1.0\t {i + 1},")
     for s, w in sorted(splits, key=lambda e: -e[1]):
         ids = " ".join(str(i + 1) for i in sorted(s))
-        out.append(f"\t{w:.6g}\t {ids},")
+        out.append(f"\t{w:.{precision}g}\t {ids},")
     out += [";", "END; [Splits]", ""]
     path = out_prefix + ".nex"
     with open(path, "w") as f:

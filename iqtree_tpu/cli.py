@@ -65,6 +65,17 @@ def main(argv: Optional[List[str]] = None) -> int:
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if cfg.f64 else jnp.float32
 
+    # -blmin/-blmax: global branch-length bounds; must be installed
+    # before anything is traced (jit closures bake the bounds in)
+    if cfg.min_branch_length != 1e-6 or cfg.max_branch_length != 100.0:
+        from .engine.derivatives import set_blen_bounds
+
+        set_blen_bounds(cfg.min_branch_length, cfg.max_branch_length)
+    if cfg.optimize_mixmodel_weight:
+        from .models import mixture
+
+        mixture.FORCE_OPT_WEIGHTS = True
+
     prefix = cfg.out_prefix
     log_lines: List[str] = []
 
@@ -154,6 +165,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         return rc
 
     aln = read_alignment(cfg.aln_file, seq_type=seq_type, genetic_code=gcode)
+    if cfg.freq_const_patterns:
+        # -fconst: append constant sites (alignment.cpp addConstPatterns)
+        aln = aln.add_const_patterns(cfg.freq_const_patterns)
+        log(f"Added constant sites (-fconst {cfg.freq_const_patterns})")
     log(
         f"Alignment: {aln.n_taxa} sequences, {aln.n_sites} sites, "
         f"{aln.n_patterns} patterns ({aln.states.seq_type})"
@@ -248,6 +263,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             criterion=cfg.model_test_criterion,
             model_set=cfg.model_set, model_subset=cfg.model_subset,
             freq_set=cfg.freq_set,
+            rate_scan=cfg.model_test_rate_scan,
+            min_rate_cats=cfg.min_rate_cats,
+            max_rate_cats=cfg.max_rate_cats,
         )
         log(f"Best-fit model: {best} chosen according to "
             f"{cfg.model_test_criterion}")
@@ -258,6 +276,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             _finish(prefix, log_lines, t0, log)
             return 0
 
+    if cfg.write_site_freq and not cfg.site_freq_file:
+        log("WARNING: -wsf has no effect without -fs (the model carries "
+            "no site-specific frequencies)")
     result = None
     if cfg.site_freq_file:
         # -fs: site-specific state-frequency model (+SSF / ModelSet,
@@ -436,7 +457,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if ufboot is not None:
         support = ufboot.supports_for(tree)
         if cfg.write_boot_trees:
-            ufboot.write_ufboot(prefix + ".ufboot", aln.names)
+            ufboot.write_ufboot(prefix + ".ufboot", aln.names,
+                                with_lengths=cfg.write_boot_tree_blens)
             log(f"  UFBoot trees:                  {prefix}.ufboot")
         ufboot.write_splits_nex(prefix + ".splits.nex", aln.names)
         contree = ufboot.consensus()
@@ -652,18 +674,25 @@ def _run_utility(cfg, log) -> int:
         return 0
     if cfg.consensus_file:
         treeutils.run_consensus(cfg.consensus_file, prefix,
-                                minsup=cfg.min_support, log=log)
+                                minsup=cfg.min_support, log=log,
+                                burnin=cfg.tree_burnin,
+                                max_count=cfg.tree_max_count)
         return 0
     if cfg.network_file:
-        treeutils.run_consensus_network(cfg.network_file, prefix,
-                                        cutoff=cfg.min_support, log=log)
+        treeutils.run_consensus_network(
+            cfg.network_file, prefix, cutoff=cfg.min_support, log=log,
+            burnin=cfg.tree_burnin, max_count=cfg.tree_max_count,
+            precision=cfg.numeric_precision or 6,
+        )
         return 0
     if cfg.sup_target:
         if not cfg.user_tree:
             log("ERROR: -sup needs -t <trees file>")
             return 2
         treeutils.run_support_assignment(cfg.sup_target, cfg.user_tree,
-                                         prefix, log=log)
+                                         prefix, log=log,
+                                         burnin=cfg.tree_burnin,
+                                         max_count=cfg.tree_max_count)
         return 0
     if cfg.rf_file:
         treeutils.run_rf_distance(cfg.rf_file, prefix,
@@ -671,8 +700,12 @@ def _run_utility(cfg, log) -> int:
         return 0
     if cfg.random_tree_n:
         rng = np.random.default_rng(cfg.seed)
-        t = treeutils.generate_random_tree(cfg.random_tree_n, rng,
-                                           cfg.random_tree_mode)
+        t = treeutils.generate_random_tree(
+            cfg.random_tree_n, rng, cfg.random_tree_mode,
+            min_len=cfg.random_tree_min_len,
+            mean_len=cfg.random_tree_mean_len,
+            max_len=cfg.random_tree_max_len,
+        )
         names = [f"t{i}" for i in range(cfg.random_tree_n)]
         out = prefix + ".treefile"
         with open(out, "w") as f:
@@ -925,7 +958,8 @@ def _run_fixed_topology(cfg, aln, model_str, dtype, log):
         )(ta, params)
         log(f"Optimal log-likelihood: {float(lnl):.4f}")
     else:
-        ta, params, lnl = optimize_model_and_branches(opt, ta, site, tol=0.001)
+        ta, params, lnl = optimize_model_and_branches(
+            opt, ta, site, tol=cfg.model_eps if cfg.model_eps else 0.001)
         tree.blen = ta.host_blen()
         log(f"Optimal log-likelihood: {float(lnl):.4f}")
     subst, rate = opt.unpack(params)
@@ -966,6 +1000,15 @@ def _run_ssf(cfg, aln, model_str, dtype, log):
     log(f"Reading site-specific state frequency file "
         f"{cfg.site_freq_file} ...")
     site_class, class_freq = read_site_freq_file(cfg.site_freq_file, aln)
+    if cfg.write_site_freq:
+        # -wsf: the per-site state-frequency vectors in effect
+        # (printSiteStateFreq, tools.cpp:2209 / phylotesting.cpp)
+        out_sf = cfg.out_prefix + ".sitefreq"
+        with open(out_sf, "w") as f:
+            for i, c in enumerate(site_class):
+                f.write(f"{i + 1} " + " ".join(
+                    f"{x:.6f}" for x in class_freq[c]) + "\n")
+        log(f"  Site state frequencies:        {out_sf}")
     base = model_str.split("+")[0].upper()
     if base in ("JC", "POISSON", "JC69"):
         raise SystemExit("JC is not suitable for site-specific model")
@@ -1046,6 +1089,8 @@ def _run_search(cfg, aln, model_str, dtype, log, ckp=None):
         weibull_max_iterations=cfg.weibull_max_iterations,
         stop_confidence=cfg.stop_confidence,
         dtype=dtype,
+        nni5=cfg.nni5,
+        start_tree_mode=cfg.start_tree_mode,
         start_tree=open(cfg.user_tree).read() if cfg.user_tree else None,
         dist_file=cfg.dist_file,
         log=log,

@@ -69,6 +69,7 @@ class RunConfig:
     model_test_criterion: str = "BIC"  # -AIC/-AICc/-BIC
     model_test_only: bool = False
     model_test_merge: bool = False  # -m TESTMERGE[ONLY]
+    model_test_rate_scan: bool = False  # -m TESTNEW*: include +R2..+Rcmax
     whtest: bool = False  # -m WHTEST (Weiss-von Haeseler homogeneity test)
     whtest_sim: int = 1000  # -ns
     pers: float = 0.5  # -pers
@@ -115,6 +116,25 @@ class RunConfig:
     scale_blen: float = 0.0  # -scale FACTOR (scale -t branch lengths)
     eco_dag_file: Optional[str] = None  # -eco FILE (food web, ECOpd)
     eco_diet: float = 0.0  # -diet d (% of diet to conserve)
+    # optimization / search knobs (reference defaults, tools.cpp:687-871)
+    min_branch_length: float = 1e-6  # -blmin
+    max_branch_length: float = 100.0  # -blmax
+    model_eps: Optional[float] = None  # -me lnL tolerance (None = per-mode default)
+    min_rate_cats: int = 2  # -cmin (+R scan lower bound)
+    max_rate_cats: int = 10  # -cmax (+R scan upper bound)
+    nni5: bool = True  # -nni5/-fivebran vs -nni1/-onebran
+    start_tree_mode: str = "BIONJ"  # -starttree BIONJ|PARS
+    freq_const_patterns: Optional[str] = None  # -fconst f_A,f_C,...
+    tree_burnin: int = 0  # -bi (skip first trees in -con/-net/-sup)
+    tree_max_count: int = 0  # -tm (stop reading trees after this many)
+    optimize_mixmodel_weight: bool = False  # -mwopt
+    numeric_precision: int = 0  # -prec (0 = per-output defaults)
+    write_site_freq: bool = False  # -wsf (.sitefreq of +SSF/per-site freqs)
+    write_boot_tree_blens: bool = False  # -wbtl (implies -wbt)
+    random_tree_min_len: float = 0.001  # -rlen MIN MEAN MAX
+    random_tree_mean_len: float = 0.1
+    random_tree_max_len: float = 0.999
+    ufboot_epsilon: float = 0.5  # -beps (UFBoot logl cutoff slack)
 
     @property
     def out_prefix(self) -> str:
@@ -178,7 +198,8 @@ def parse_args(argv) -> RunConfig:
                    help="min UFBoot split correlation for convergence")
     p.add_argument("-nstep", dest="nstep", type=int, default=100,
                    help="UFBoot correlation check interval")
-    p.add_argument("-keep-ident", dest="keep_ident", action="store_true",
+    p.add_argument("-keep_ident", "-keep-ident", dest="keep_ident",
+                   action="store_true",
                    help="keep identical sequences during the analysis")
     p.add_argument("-n", dest="n_iterations", type=int, default=None,
                    help="fixed number of search iterations")
@@ -318,7 +339,60 @@ def parse_args(argv) -> RunConfig:
     p.add_argument("-diet", dest="diet", type=float, default=0.0,
                    help="ECOpd: %% of diet that must be conserved")
     p.add_argument("-maxk", dest="pd_maxk", type=int, default=0)
+    p.add_argument("-blmin", dest="blmin", type=float, default=1e-6,
+                   help="minimum branch length (tools.cpp:1978)")
+    p.add_argument("-blmax", dest="blmax", type=float, default=100.0,
+                   help="maximum branch length")
+    p.add_argument("-me", "-eps", dest="model_eps", type=float, default=None,
+                   help="lnL epsilon for model-parameter optimization")
+    p.add_argument("-cmin", dest="cmin", type=int, default=2,
+                   help="min rate categories for the +R scan (-m TESTNEW)")
+    p.add_argument("-cmax", dest="cmax", type=int, default=10,
+                   help="max rate categories for the +R scan (-m TESTNEW)")
+    p.add_argument("-nni5", "-fivebran", dest="nni5", action="store_true",
+                   default=True,
+                   help="re-optimize 5 local branches per NNI (default)")
+    p.add_argument("-nni1", "-onebran", dest="nni5", action="store_false",
+                   help="re-optimize only the central branch per NNI")
+    p.add_argument("-allnni", dest="allnni", action="store_true",
+                   help="evaluate NNIs on all branches (always on here: the "
+                        "TPU engine batch-evaluates every internal branch "
+                        "in one kernel, so the reference's speedNNI "
+                        "restriction would not save anything)")
+    p.add_argument("-starttree", dest="starttree", default="BIONJ",
+                   choices=["BIONJ", "PARS", "PLLPARS"],
+                   help="starting tree: BIONJ (ML distances) or PARS "
+                        "(randomized stepwise-addition parsimony)")
+    p.add_argument("-fconst", dest="fconst", default=None,
+                   help="append constant patterns with these per-state "
+                        "frequencies, e.g. 10,20,15,40 (tools.cpp:1902)")
+    p.add_argument("-bi", dest="tree_burnin", type=int, default=0,
+                   help="burn-in: skip this many first trees of the input "
+                        "tree set (-con/-net/-sup)")
+    p.add_argument("-tm", dest="tree_max_count", type=int, default=0,
+                   help="read at most this many trees of the input set")
+    p.add_argument("-mwopt", dest="mwopt", action="store_true",
+                   help="always optimize mixture-class weights")
+    p.add_argument("-prec", dest="prec", type=int, default=0,
+                   help="numeric precision of report output")
+    p.add_argument("-wsf", dest="wsf", action="store_true",
+                   help="write the site state-frequency vectors (.sitefreq)")
+    p.add_argument("-wbtl", dest="wbtl", action="store_true",
+                   help="write UFBoot trees with branch lengths "
+                        "(implies -wbt)")
+    p.add_argument("-rlen", dest="rlen", nargs=3, type=float, default=None,
+                   metavar=("MIN", "MEAN", "MAX"),
+                   help="random-tree branch lengths (-r): min mean max")
+    p.add_argument("-beps", dest="beps", type=float, default=0.5,
+                   help="UFBoot logl-cutoff epsilon")
+    p.add_argument("-numpars", dest="ninit", type=int,
+                   default=argparse.SUPPRESS,
+                   help=argparse.SUPPRESS)  # reference alias for numInitTrees
     a = p.parse_args(argv)
+    if a.beps <= 0:
+        p.error("-beps epsilon must be positive")  # tools.cpp:2404
+    if a.cmin < 2 or a.cmax < a.cmin:
+        p.error("-cmin must be >= 2 and -cmax >= -cmin")
 
     # parse-time validation matching the reference's outError calls, so a
     # flag mistake fails in milliseconds instead of after the tree search
@@ -340,9 +414,13 @@ def parse_args(argv) -> RunConfig:
         whtest = True
         model = "GTR+G"
 
-    if model in ("TEST", "TESTONLY"):
+    model_test_rate_scan = False
+    if model in ("TEST", "TESTONLY", "TESTNEW", "TESTNEWONLY"):
+        # TESTNEW additionally scans FreeRate +R{cmin..cmax} classes
+        # (tools.cpp:3113, phylotesting.cpp getModelList new_rates)
         model_test = True
-        model_test_only = model == "TESTONLY"
+        model_test_only = model.endswith("ONLY")
+        model_test_rate_scan = model.startswith("TESTNEW")
         model = None
     elif model in ("TESTMERGE", "TESTMERGEONLY",
                    "TESTNEWMERGE", "TESTNEWMERGEONLY"):
@@ -350,6 +428,7 @@ def parse_args(argv) -> RunConfig:
         model_test = True
         model_test_merge = True
         model_test_only = model.endswith("ONLY")
+        model_test_rate_scan = model.startswith("TESTNEW")
         model = None
     # -i/-a/-gmedian pin rate parameters by rewriting the model string
     # (the reference sets Params fields consumed by the factory,
@@ -383,7 +462,7 @@ def parse_args(argv) -> RunConfig:
         print_tree_lh=a.print_tree_lh,
         outgroup=a.outgroup,
         verbose=a.verbose,
-        write_boot_trees=a.wbt,
+        write_boot_trees=a.wbt or a.wbtl,
         write_local_trees=a.wt,
         ckp_interval=a.cptime,
         min_correlation=a.bcor,
@@ -422,6 +501,7 @@ def parse_args(argv) -> RunConfig:
                               else "AICC" if a.crit_aicc else "BIC"),
         model_test_only=model_test_only,
         model_test_merge=model_test_merge,
+        model_test_rate_scan=model_test_rate_scan,
         whtest=whtest,
         whtest_sim=a.whtest_sim,
         pers=a.pers,
@@ -473,4 +553,22 @@ def parse_args(argv) -> RunConfig:
         # tools.cpp:2356 "-diet <d in %>"); always divide — guessing
         # units misread e.g. "-diet 1" (1%) as 100%
         eco_diet=a.diet / 100.0,
+        min_branch_length=a.blmin,
+        max_branch_length=a.blmax,
+        model_eps=a.model_eps,
+        min_rate_cats=a.cmin,
+        max_rate_cats=a.cmax,
+        nni5=a.nni5,
+        start_tree_mode=a.starttree,
+        freq_const_patterns=a.fconst,
+        tree_burnin=a.tree_burnin,
+        tree_max_count=a.tree_max_count,
+        optimize_mixmodel_weight=a.mwopt,
+        numeric_precision=a.prec,
+        write_site_freq=a.wsf,
+        write_boot_tree_blens=a.wbtl,
+        random_tree_min_len=a.rlen[0] if a.rlen else 0.001,
+        random_tree_mean_len=a.rlen[1] if a.rlen else 0.1,
+        random_tree_max_len=a.rlen[2] if a.rlen else 0.999,
+        ufboot_epsilon=a.beps,
     )

@@ -51,6 +51,25 @@ HIGHEST = jax.lax.Precision.HIGHEST
 MIN_BLEN = 1e-6
 MAX_BLEN = 100.0
 
+# CLI-adjustable bounds (-blmin/-blmax, reference tools.cpp:1978-1996).
+# Mutable list so every engine module sees updates; set_blen_bounds must
+# run before the first trace (jit closures bake the values in).
+_BLEN_BOUNDS = [MIN_BLEN, MAX_BLEN]
+
+
+def blen_bounds():
+    """(min, max) branch-length bounds currently in effect."""
+    return _BLEN_BOUNDS[0], _BLEN_BOUNDS[1]
+
+
+def set_blen_bounds(min_blen=None, max_blen=None):
+    """Set global branch-length bounds (-blmin/-blmax).  Call before any
+    likelihood/branch-optimization function is traced."""
+    if min_blen is not None:
+        _BLEN_BOUNDS[0] = float(min_blen)
+    if max_blen is not None:
+        _BLEN_BOUNDS[1] = float(max_blen)
+
 
 def downward_pass(
     tree: TreeArrays,
@@ -342,13 +361,17 @@ def newton_target(
     d1: jnp.ndarray,
     d2: jnp.ndarray,
     blen: jnp.ndarray,
-    min_blen: float = MIN_BLEN,
-    max_blen: float = MAX_BLEN,
+    min_blen: float = None,
+    max_blen: float = None,
 ) -> jnp.ndarray:
     """Safeguarded per-branch Newton target from (d1, d2): same update
     rule as the reference's minimizeNewton (optimization.cpp:388) —
     t* = clip(t - f'/f''), falling back to a doubling/halving move along
     the gradient when curvature is not negative."""
+    if min_blen is None or max_blen is None:
+        b0, b1 = blen_bounds()
+        min_blen = b0 if min_blen is None else min_blen
+        max_blen = b1 if max_blen is None else max_blen
     newton = blen - d1 / jnp.minimum(d2, -1e-12)
     fallback = jnp.where(d1 > 0, blen * 2.0, blen * 0.5)
     target = jnp.where(d2 < -1e-12, newton, fallback)
@@ -360,8 +383,8 @@ def newton_direction(
     model: ModelArrays,
     site: SiteData,
     blen: jnp.ndarray,
-    min_blen: float = MIN_BLEN,
-    max_blen: float = MAX_BLEN,
+    min_blen: float = None,
+    max_blen: float = None,
 ) -> jnp.ndarray:
     """Per-branch Newton target lengths (the full step), safeguarded."""
     _, d1, d2 = branch_lnl_derivs(theta, model, site, blen)

@@ -33,7 +33,7 @@ from .likelihood import (
     tip_partials,
     upward_pass,
 )
-from .derivatives import MIN_BLEN, MAX_BLEN
+from .derivatives import blen_bounds
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -148,7 +148,7 @@ def _theta_lnl_newton(
             t - d1 / jnp.minimum(d2, -1e-12),
             jnp.where(d1 > 0, t * 2.0, t * 0.5),
         )
-        return jnp.clip(t_new, MIN_BLEN, MAX_BLEN)
+        return jnp.clip(t_new, *blen_bounds())
 
     t = jax.lax.fori_loop(0, newton_iters, newton, t0)
     denom, _, _ = derivs(t)

@@ -459,7 +459,7 @@ def ssf_theta_lnl_newton(
         denom = jnp.maximum(f0, SCALE_TINY) + invar
         return denom, f1, f2
 
-    from .derivatives import MAX_BLEN, MIN_BLEN
+    from .derivatives import blen_bounds
 
     n_sites = jnp.sum(site.pattern_freq)
 
@@ -481,7 +481,7 @@ def ssf_theta_lnl_newton(
             t - d1 / jnp.minimum(d2, -1e-12),
             jnp.where(d1 > 0, t * 2.0, t * 0.5),
         )
-        return jnp.clip(t_new, MIN_BLEN, MAX_BLEN)
+        return jnp.clip(t_new, *blen_bounds())
 
     t = jax.lax.fori_loop(0, newton_iters, newton, t0)
     denom, _, _ = derivs(t)
@@ -505,7 +505,7 @@ def ssf_optimize_all_branches(
 ) -> Tuple[TreeArrays, jnp.ndarray]:
     """Batched Newton sweeps with monotone line search (the site-model
     analogue of derivatives.optimize_all_branches)."""
-    from .derivatives import MAX_BLEN, MIN_BLEN, optimize_branch_mask
+    from .derivatives import blen_bounds, optimize_branch_mask
 
     mask = optimize_branch_mask(tree)
 
@@ -522,7 +522,7 @@ def ssf_optimize_all_branches(
         newton = blen - d1 / jnp.minimum(d2, -1e-12)
         fallback = jnp.where(d1 > 0, blen * 2.0, blen * 0.5)
         target = jnp.clip(
-            jnp.where(d2 < -1e-12, newton, fallback), MIN_BLEN, MAX_BLEN
+            jnp.where(d2 < -1e-12, newton, fallback), *blen_bounds()
         )
         direction = jnp.where(mask, target - blen, 0.0)
 

@@ -436,6 +436,52 @@ class Alignment:
             states=self.states,
         )
 
+    def add_const_patterns(self, spec: str) -> "Alignment":
+        """-fconst: append fully-constant patterns with the given
+        per-state site counts, e.g. "10,20,15,40" adds 10 all-A, 20
+        all-C, ... columns (Alignment::addConstPatterns,
+        /root/reference/alignment.cpp; parse at tools.cpp:1902)."""
+        counts = [int(x) for x in spec.split(",")]
+        if len(counts) != self.num_states:
+            raise ValueError(
+                f"-fconst expects {self.num_states} comma-separated "
+                f"counts for {self.states.seq_type} data, got {len(counts)}"
+            )
+        patterns = self.patterns
+        freq = self.pattern_freq.copy()
+        extra_sites = []
+        new_cols = []
+        existing = {
+            np.ascontiguousarray(patterns[:, p]).tobytes(): p
+            for p in range(self.n_patterns)
+        }
+        for s, c in enumerate(counts):
+            if c <= 0:
+                continue
+            col = np.full(self.n_taxa, s, dtype=patterns.dtype)
+            p = existing.get(col.tobytes())
+            if p is not None:
+                freq[p] += c
+            else:
+                p = self.n_patterns + len(new_cols)
+                new_cols.append(col)
+                freq = np.concatenate([freq, [float(c)]])
+            extra_sites.extend([p] * c)
+        if new_cols:
+            patterns = np.concatenate(
+                [patterns, np.stack(new_cols, axis=1)], axis=1
+            )
+        return Alignment(
+            names=list(self.names),
+            patterns=np.ascontiguousarray(patterns),
+            pattern_freq=freq,
+            site_to_pattern=np.concatenate(
+                [self.site_to_pattern,
+                 np.asarray(extra_sites, dtype=np.int32)]
+            ),
+            states=self.states,
+        )
+
     @classmethod
     def concatenate(cls, parts: List["Alignment"]) -> "Alignment":
         """Concatenate alignments over the same taxon set at the pattern

@@ -27,6 +27,11 @@ import numpy as np
 
 from .subst import FREQ_USER, ReversibleModel
 
+# process-wide -mwopt switch (set by the CLI before models are built):
+# force mixture-class weights to be free parameters even when the model
+# string pins them (reference params.optimize_mixmodel_weight)
+FORCE_OPT_WEIGHTS = False
+
 
 @dataclass
 class MixtureModel:
@@ -156,7 +161,9 @@ def build_mixture(
     if given:
         w = np.asarray(given, float)
         w = w / w.sum()
-        fix_weights = True
+        # -mwopt forces weight optimization even when weights were given
+        # (reference optimize_mixmodel_weight, tools.cpp:1805)
+        fix_weights = not FORCE_OPT_WEIGHTS
     else:
         w = np.full(M, 1.0 / M)
         fix_weights = False

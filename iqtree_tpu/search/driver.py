@@ -63,6 +63,7 @@ class SearchParams:
     dtype: object = jnp.float64
     nni5: bool = True
     start_tree: Optional[str] = None  # newick string (-t/-te)
+    start_tree_mode: str = "BIONJ"  # -starttree BIONJ|PARS
     dist_file: Optional[str] = None  # -d: user distances feed BIONJ
     log: Callable[[str], None] = print
     # UFBoot (-bb): replicates; correlation checked every step_iterations
@@ -175,6 +176,11 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         dist = read_dist_file(params.dist_file, aln.names)
         tree = bionj_tree(dist)
         log("BIONJ start tree from user distances")
+    elif params.start_tree_mode.upper().startswith("PARS"):
+        # -starttree PARS: randomized stepwise-addition parsimony start
+        # (reference STT_PARSIMONY, tools.cpp:1604-1613)
+        log("Computing parsimony stepwise-addition start tree...")
+        tree = parsimony_stepwise_tree(aln, rng)
     else:
         log("Computing ML pairwise distances + BIONJ start tree...")
         ma0 = ModelOptimizer(subst, rate, dtype=dtype).build(

@@ -342,6 +342,49 @@ def _fit_class_exchange(
     ), np.asarray(ndims), display
 
 
+def _rate_scan_freerate(aln, site, ta, dtype, st, model_set, model_subset,
+                        plus_f_opts, criterion, min_rate_cats,
+                        max_rate_cats, n_branches, ssize, results, log):
+    """-m TESTNEW: FreeRate +R{cmin..cmax} scan per base model, with the
+    reference's early stop — once +R{k} scores worse than +R{k-1} by the
+    selection criterion, larger k are skipped for that model
+    (getModelList "+R" expansion phylotesting.cpp:640-648; stop rule
+    :1512-1543).  +R{k} adds 2(k-1) free parameters (k rates + k
+    proportions, mean-1 and sum-1 constrained)."""
+    from ..models.factory import parse_model_string
+    from ..models.optimize import ModelOptimizer, optimize_model_and_branches
+
+    crit = criterion.upper()
+    pick = {"AIC": 0, "AICC": 1, "BIC": 2}[crit]
+    scan = []  # (model-string base, display base, base df)
+    if st == SEQ_DNA:
+        names = candidate_models(st, model_set)
+        _, _, nd, disp = _dna_consts(names, aln, dtype)
+        scan = [(names[i], disp[i], int(nd[i])) for i in range(len(names))]
+    else:
+        names = candidate_models(st, model_set, model_subset)
+        for plus_f in plus_f_opts:
+            suf = "+F" if plus_f else ""
+            scan += [(nm + suf, _display_name(nm, "") + suf,
+                      19 if plus_f else 0) for nm in names]
+    for mbase, disp, base_df in scan:
+        prev = None
+        for k in range(min_rate_cats, max_rate_cats + 1):
+            log(f"Testing {disp}+R{k}...")
+            subst_k, rate_k = parse_model_string(f"{mbase}+R{k}", aln)
+            opt_k = ModelOptimizer(subst_k, rate_k, dtype=dtype)
+            _, _, lnl_k = optimize_model_and_branches(
+                opt_k, ta, site, rounds=4, tol=0.05)
+            df = base_df + 2 * (k - 1) + n_branches
+            aic, aicc, bic = information_scores(float(lnl_k), df, ssize)
+            results.append(ModelFitResult(f"{disp}+R{k}", float(lnl_k), df,
+                                          aic, aicc, bic))
+            score = (aic, aicc, bic)[pick]
+            if prev is not None and score > prev:
+                break
+            prev = score
+
+
 def run_model_selection(
     aln: Alignment,
     dtype=jnp.float64,
@@ -353,6 +396,9 @@ def run_model_selection(
     model_set: Optional[str] = None,
     model_subset: Optional[str] = None,
     freq_set: Optional[str] = None,
+    rate_scan: bool = False,
+    min_rate_cats: int = 2,
+    max_rate_cats: int = 10,
 ) -> Tuple[str, str]:
     """Returns (best model string, report table); with return_details,
     (best, table, details) where details = dict(lnl, df, tree_len,
@@ -384,6 +430,26 @@ def run_model_selection(
     n_branches = 2 * aln.n_taxa - 3
     ssize = aln.n_sites
     results: List[ModelFitResult] = []
+
+    # -mfreq restricts the protein ±F sweep (aa_freq_names, :91)
+    plus_f_opts = (False, True)
+    if st == SEQ_PROTEIN and freq_set:
+        toks = {t.strip().lstrip("+").upper()
+                for t in freq_set.split(",")}
+        bad = toks - {"", "F", "FU", "FC"}
+        if bad:
+            # the reference errors on unknown -mfreq input
+            raise ValueError(
+                f"unknown -mfreq type(s): {', '.join(sorted(bad))} "
+                "(valid for protein: FU, F)"
+            )
+        plus_f_opts = tuple(
+            pf for pf in (False, True)
+            if (("F" in toks) if pf
+                else bool(toks & {"", "FU", "FC"}))
+        )
+        if not plus_f_opts:
+            raise ValueError("-mfreq selected no frequency types")
 
     def handle_class(fit_out, ndims, display, rc, has_gamma, has_invar):
         (lnls, params, blens) = fit_out
@@ -418,25 +484,6 @@ def run_model_selection(
             )
             handle_class(fit_out, ndims, display, rc, has_gamma, has_invar)
         elif st == SEQ_PROTEIN:
-            # -mfreq restricts the ±F sweep (aa_freq_names, :91)
-            plus_f_opts = (False, True)
-            if freq_set:
-                toks = {t.strip().lstrip("+").upper()
-                        for t in freq_set.split(",")}
-                bad = toks - {"", "F", "FU", "FC"}
-                if bad:
-                    # the reference errors on unknown -mfreq input
-                    raise ValueError(
-                        f"unknown -mfreq type(s): {', '.join(sorted(bad))} "
-                        "(valid for protein: FU, F)"
-                    )
-                plus_f_opts = tuple(
-                    pf for pf in (False, True)
-                    if (("F" in toks) if pf
-                        else bool(toks & {"", "FU", "FC"}))
-                )
-                if not plus_f_opts:
-                    raise ValueError("-mfreq selected no frequency types")
             names = candidate_models(st, model_set, model_subset)
             for plus_f in plus_f_opts:
                 fit_out, ndims, display = _fit_class_protein(
@@ -471,6 +518,16 @@ def run_model_selection(
                          has_invar)
         else:
             raise ValueError(f"model selection not supported for {st} yet")
+
+    if rate_scan and st in (SEQ_DNA, SEQ_PROTEIN):
+        _rate_scan_freerate(
+            aln, site, ta, dtype, st, model_set, model_subset, plus_f_opts,
+            criterion, min_rate_cats, max_rate_cats, n_branches, ssize,
+            results, log,
+        )
+    elif rate_scan:
+        log(f"NOTE: the +R scan (-m TESTNEW) is only run for DNA/protein "
+            f"data; skipping for {st}")
 
     key = {"BIC": lambda r: r.bic, "AIC": lambda r: r.aic,
            "AICC": lambda r: r.aicc}[criterion.upper()]

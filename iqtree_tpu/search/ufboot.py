@@ -141,13 +141,14 @@ class UFBoot:
         tree, _ = consensus_tree(self.split_counter())
         return tree
 
-    def write_ufboot(self, path: str, names) -> None:
+    def write_ufboot(self, path: str, names, with_lengths=False) -> None:
+        """-wbt (topologies only) / -wbtl (with branch lengths,
+        tools.cpp:2411)."""
         with open(path, "w") as f:
             for tid in self.boot_tree_id:
                 if tid >= 0:
-                    f.write(self._trees[int(tid)].to_newick(names,
-                                                            with_lengths=False)
-                            + "\n")
+                    f.write(self._trees[int(tid)].to_newick(
+                        names, with_lengths=with_lengths) + "\n")
 
     def write_splits_nex(self, path: str, names) -> None:
         """.splits.nex split network file (reference SplitGraph::saveFile)."""

@@ -61,6 +61,12 @@ CASES = [
     # the AU refinement intentionally differs, analysis/topotest.py)
     ("dna_topotest", "exact",
      "-s {aln} -m HKY+G -te {tree} -z {ztrees} -zb 1000"),
+    # round-3 flag tail: -fconst constant-pattern padding and
+    # -blmin/-blmax branch bounds must reproduce the reference exactly
+    ("dna_fconst_te", "exact",
+     "-s {aln} -m HKY+G -te {tree} -fconst 30,20,20,30"),
+    ("dna_blbounds_te", "exact",
+     "-s {aln} -m GTR+G -te {tree} -blmin 0.00001 -blmax 5"),
 ]
 
 SUBS = {
