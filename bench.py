@@ -79,7 +79,8 @@ def main():
 
     aln, tree_nwk = load_workload()
 
-    from iqtree_tpu.engine.kernels.pruning import device_slot_schedule
+    from iqtree_tpu.engine.kernels.pruning import (device_slot_schedule,
+                                                   schedule_pack)
     from iqtree_tpu.engine.likelihood import SiteData, TreeArrays, compute_loglik
     from iqtree_tpu.models.factory import parse_model_string
     from iqtree_tpu.models.optimize import ModelOptimizer, optimize_model_and_branches
@@ -91,7 +92,9 @@ def main():
     opt = ModelOptimizer(subst, rate, dtype=dtype)
     site = SiteData.from_alignment(aln, dtype)
     ta = TreeArrays.from_tree(tree, dtype)
-    steps, n_slots = device_slot_schedule(tree, ta)
+    # pack-4 schedule: 4 independent pruning steps per 128-row MXU matmul
+    steps, n_slots = device_slot_schedule(
+        tree, ta, pack=schedule_pack(4, 4))
     steps = jnp.asarray(steps)
 
     # warm up compiles outside the timed region (the reference's binary is
@@ -102,11 +105,6 @@ def main():
     _ = optimize_model_and_branches(opt, ta, site, rounds=1, tol=1e9,
                                     steps=steps, n_slots=n_slots)
     sys.stderr.write(f"compile+warmup {time.time()-t_compile:.1f}s\n")
-
-    # optional profiler capture (IQTREE_TPU_PROFILE=/path/to/tracedir)
-    profile_dir = os.environ.get("IQTREE_TPU_PROFILE")
-    if profile_dir:
-        jax.profiler.start_trace(profile_dir)
 
     t0 = time.time()
     ta2, params, lnl = optimize_model_and_branches(
@@ -126,12 +124,23 @@ def main():
     f = jax.jit(lambda t, m: fused_compute_loglik(
         t, m, site, steps, n_slots)[0])
     f(ta2, ma).block_until_ready()
+    # optional profiler capture of ONLY the eval loop, so the trace's
+    # device-track total / K is the per-eval device time
+    # (IQTREE_TPU_PROFILE=/path/to/tracedir; summarize with
+    # scripts/trace_summary.py)
+    profile_dir = os.environ.get("IQTREE_TPU_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t1 = time.time()
     K = 50
     for _ in range(K):
         out = f(ta2, ma)
     out.block_until_ready()
     eval_sec = (time.time() - t1) / K
+    if profile_dir:
+        jax.profiler.stop_trace()
+        sys.stderr.write(f"profiler trace (eval loop x{K}) -> "
+                         f"{profile_dir}\n")
     # the round-2 metric (XLA mailbox path) for continuity
     f_xla = jax.jit(compute_loglik)
     f_xla(ta2, ma, site)[0].block_until_ready()
@@ -140,9 +149,6 @@ def main():
         out = f_xla(ta2, ma, site)[0]
     out.block_until_ready()
     eval_sec_xla = (time.time() - t1) / 10
-    if profile_dir:
-        jax.profiler.stop_trace()
-        sys.stderr.write(f"profiler trace written to {profile_dir}\n")
     sites_per_sec = aln.n_sites / eval_sec
 
     # ---- observability: roofline estimates for ONE lnL evaluation -----

@@ -55,8 +55,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     cfg = parse_args(argv)
     command = "iqtree-tpu " + " ".join(argv)
 
+    import os as _os
+
     import jax
     import jax.numpy as jnp
+
+    # IQTREE_TPU_PLATFORM=cpu forces the backend (e.g. differential runs
+    # beside a busy TPU); must be a config update, not an env var — the
+    # environment may pin JAX_PLATFORMS before we are ever imported
+    if _os.environ.get("IQTREE_TPU_PLATFORM"):
+        jax.config.update("jax_platforms",
+                          _os.environ["IQTREE_TPU_PLATFORM"])
 
     from .utils.jaxcache import enable_compilation_cache
 
@@ -856,7 +865,8 @@ def _run_partitioned(cfg, seq_type, gcode, dtype, log, command, t0):
         start_tree=open(cfg.user_tree).read() if cfg.user_tree else None,
         log=log,
     )
-    res = run_search_partitioned(saln, sp, mode=cfg.partition_mode)
+    res = run_search_partitioned(saln, sp, mode=cfg.partition_mode,
+                                 fix_topology=cfg.fix_topology)
 
     # ---- partitioned standard bootstrap (-b [-bspec GENE|GENESITE]) ---
     # (runStandardBootstrap over SuperAlignment resamples,

@@ -102,12 +102,19 @@ def _kernel_store_cs(steps_ref, tips_ref, pair_ref, out_ref, up_ref,
         return sscale_ref[jnp.maximum(c_slot, 0)] * (c_slot >= 0)
 
     def step(i, _):
+        node = steps_ref[i, 5]
+
+        @pl.when(node >= 0)  # packed-schedule padding rows are no-ops
+        def _real():
+            _store_step(i, node)
+        return 0
+
+    def _store_step(i, node):
         l = steps_ref[i, 0]
         r = steps_ref[i, 1]
         ls = steps_ref[i, 2]
         rs = steps_ref[i, 3]
         out_slot = steps_ref[i, 4]
-        node = steps_ref[i, 5]
         sl = stage(0, l, ls)
         sr = stage(1, r, rs)
         m = jax.lax.dot_general(
@@ -127,7 +134,6 @@ def _kernel_store_cs(steps_ref, tips_ref, pair_ref, out_ref, up_ref,
         c1, c2 = copies(out_slot, node)
         c1.start()
         c2.start()
-        return 0
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), step, 0)
 
@@ -364,8 +370,10 @@ def _kernel_newton_cs(steps_ref, mstk_ref, rootd_ref, wp_ref, invar_ref,
                 dslots_ref[s] = dd
                 dscale_ref[s] = osc
 
-        side(l, ls, s_l, mk_l, mk_r[:CS], s_r)
-        side(r, rs, s_r, mk_r, mk_l[:CS], s_l)
+        @pl.when(steps_ref[i, 5] >= 0)  # skip packed-schedule padding
+        def _real():
+            side(l, ls, s_l, mk_l, mk_r[:CS], s_r)
+            side(r, rs, s_r, mk_r, mk_l[:CS], s_l)
 
     fetch(jnp.int32(0), steps_ref[n_steps - 1, 0])
     fetch(jnp.int32(1), steps_ref[n_steps - 1, 1])
@@ -614,8 +622,10 @@ def _kernel_tbar_cs(steps_ref, bd_ref, rootd_ref, lnl_ref, wp_ref,
                 dslots_ref[s] = dd
                 dscale_ref[s] = osc
 
-        side(l, ls, u_l, s_l, m_r, s_r)
-        side(r, rs, u_r, s_r, m_l, s_l)
+        @pl.when(steps_ref[i, 5] >= 0)  # skip packed-schedule padding
+        def _real():
+            side(l, ls, u_l, s_l, m_r, s_r)
+            side(r, rs, u_r, s_r, m_l, s_l)
 
     fetch(jnp.int32(0), steps_ref[n_steps - 1, 0])
     fetch(jnp.int32(1), steps_ref[n_steps - 1, 1])

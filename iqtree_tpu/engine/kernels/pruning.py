@@ -169,6 +169,80 @@ def _kernel_cs(steps_ref, tips_ref, pair_ref, rootw_ref, invar_ref,
     )
 
 
+def _kernel_cs_packed(steps_ref, tips_ref, pair_ref, rootw_ref, invar_ref,
+                      out_ref, slots_ref, sscale_ref, xstage_ref, *,
+                      n_groups: int, n_taxa: int, CS: int, S_t: int,
+                      pack: int):
+    """Group-packed variant of _kernel_cs: `pack` independent pruning
+    steps per iteration share ONE [2*pack*CS, 2*pack*CS] x
+    [2*pack*CS, T] matmul.  At DNA+G4 (CS=16, pack=4) the operand is a
+    full 128-row MXU pass where the sequential kernel issues four 32-row
+    ones, and the log/max epilogue amortizes over the group — ~3.5x
+    fewer sequential iterations at 1000 taxa (288 groups vs 999 steps).
+    Padding rows (schedule.packed_slot_schedule) stage tip 0 and write a
+    trash slot; their pair blocks make the result garbage, which nothing
+    reads."""
+    f32 = out_ref.dtype
+
+    xstage_ref[...] = jnp.zeros(xstage_ref.shape, f32)
+    sscale_ref[...] = jnp.zeros(sscale_ref.shape, f32)
+
+    def stage(b, c_node, c_slot):
+        @pl.when(c_slot < 0)
+        def _tip():
+            xstage_ref[pl.ds(b * CS, S_t)] = tips_ref[
+                jnp.minimum(c_node, n_taxa - 1)
+            ]
+
+        @pl.when(c_slot >= 0)
+        def _slot():
+            xstage_ref[pl.ds(b * CS, CS)] = slots_ref[jnp.maximum(c_slot, 0)]
+
+        return sscale_ref[jnp.maximum(c_slot, 0)] * (c_slot >= 0)
+
+    def group(g, _):
+        scales = []
+        for j in range(pack):  # static unroll
+            # index arithmetic pinned to i32 (x64 mode promotes Python
+            # literals to i64, which Mosaic rejects)
+            i = g * jnp.int32(pack) + jnp.int32(j)
+            sl = stage(2 * j, steps_ref[i, 0], steps_ref[i, 2])
+            sr = stage(2 * j + 1, steps_ref[i, 1], steps_ref[i, 3])
+            scales.append(sl + sr)
+        m = jax.lax.dot_general(
+            pair_ref[g], xstage_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [2*pack*CS, T]
+        for j in range(pack):
+            y = m[2 * j * CS:(2 * j + 1) * CS] * m[(2 * j + 1) * CS:
+                                                   (2 * j + 2) * CS]
+            mx = jnp.maximum(jnp.max(y, axis=0), SCALE_TINY)
+            out_slot = steps_ref[g * jnp.int32(pack) + jnp.int32(j), 4]
+            slots_ref[out_slot] = y / mx[None, :]
+            sscale_ref[out_slot] = scales[j] + jnp.log(mx)
+        return 0
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_groups), group, 0)
+
+    root_slot = steps_ref[n_groups * pack - 1, 4]
+    x = slots_ref[root_slot]  # [CS, T]
+    mix = jax.lax.dot_general(
+        rootw_ref[...], x,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,
+    )[0]
+    lnl = jnp.log(jnp.maximum(mix, SCALE_TINY)) + sscale_ref[root_slot]
+    invar = invar_ref[0]
+    out_ref[0, :] = jnp.where(
+        invar > 0,
+        jnp.logaddexp(lnl, jnp.log(jnp.maximum(invar, SCALE_TINY))),
+        lnl,
+    )
+
+
 def block_diag_cs(trans: jnp.ndarray) -> jnp.ndarray:
     """[E, CS, CS] block-diagonal packing of [E, C, S, S] per-category
     transition matrices (the CS-packed kernels' edge operator).  One
@@ -202,6 +276,20 @@ def pack_pair_mats(trans: jnp.ndarray, steps: jnp.ndarray) -> jnp.ndarray:
     eye2 = jnp.eye(2, dtype=dt)
     pair = jnp.einsum("nxab,xy->nxayb", both, eye2)
     return pair.reshape(n, 2 * CS, 2 * CS)
+
+
+def pack_group_mats(trans: jnp.ndarray, steps: jnp.ndarray,
+                    pack: int) -> jnp.ndarray:
+    """[G, 2*pack*CS, 2*pack*CS] block-diagonal GROUP matrices for
+    _kernel_cs_packed: the per-step [2CS, 2CS] pair matrices of each
+    aligned group of `pack` schedule rows, laid block-diagonally so row
+    segment [2j*CS, (2j+2)*CS) belongs to sub-step j."""
+    pair = pack_pair_mats(trans, steps)  # [R, 2CS, 2CS]
+    R, B, _ = pair.shape
+    G = R // pack
+    eye = jnp.eye(pack, dtype=pair.dtype)
+    grp = jnp.einsum("gpab,pq->gpaqb", pair.reshape(G, pack, B, B), eye)
+    return grp.reshape(G, pack * B, pack * B)
 
 
 # CS-packed kernel applies when the packed axis is small enough that the
@@ -355,13 +443,25 @@ def _fused_site_lnl_cs_local(
                              trans.dtype)
     steps = steps.astype(jnp.int32)
     n_steps = steps.shape[0]
+    # packed schedule detection: row count beyond n_taxa-1 means the
+    # schedule was built by packed_slot_schedule with schedule_pack(C,S)
+    pack = 1
+    if n_steps > n_taxa - 1:
+        pack = schedule_pack(C, S)
+        if pack < 2 or n_steps % pack:
+            raise ValueError(
+                f"schedule rows ({n_steps}) do not match a pack-"
+                f"{schedule_pack(C, S)} schedule for CS={CS}; was the "
+                "schedule built for a different model shape?"
+            )
     P_pad = ((P + tile - 1) // tile) * tile
     if P_pad != P:
         tipsP = jnp.pad(tipsP, ((0, 0), (0, 0), (0, P_pad - P)),
                         constant_values=1.0)
         ptn_invar = jnp.pad(ptn_invar, (0, P_pad - P))
     dtype = trans.dtype
-    pair = pack_pair_mats(trans, steps)
+    pair = (pack_group_mats(trans, steps, pack) if pack > 1
+            else pack_pair_mats(trans, steps))
     rootw = (props[:, None] * state_freq).reshape(1, CS)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -378,12 +478,18 @@ def _fused_site_lnl_cs_local(
         scratch_shapes=[
             pltpu.VMEM((n_slots, CS, tile), dtype),
             pltpu.VMEM((n_slots, tile), dtype),
-            pltpu.VMEM((2 * CS, tile), dtype),
+            pltpu.VMEM((2 * pack * CS, tile), dtype),
         ],
     )
+    if pack > 1:
+        kern = functools.partial(_kernel_cs_packed,
+                                 n_groups=n_steps // pack,
+                                 n_taxa=n_taxa, CS=CS, S_t=S, pack=pack)
+    else:
+        kern = functools.partial(_kernel_cs, n_steps=n_steps,
+                                 n_taxa=n_taxa, CS=CS, S_t=S)
     out = pl.pallas_call(
-        functools.partial(_kernel_cs, n_steps=n_steps, n_taxa=n_taxa,
-                          CS=CS, S_t=S),
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, P_pad), dtype),
         interpret=interpret,
@@ -534,12 +640,19 @@ def _kernel_store(steps_ref, tips_ref, trans_ref, out_ref, up_ref,
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(4), prime_m, 0)
 
     def step(i, _):
+        node = steps_ref[i, 5]
+
+        @pl.when(node >= 0)  # packed-schedule padding rows are no-ops
+        def _real():
+            _store_step(i, node)
+        return 0
+
+    def _store_step(i, node):
         l = steps_ref[i, 0]
         r = steps_ref[i, 1]
         ls = steps_ref[i, 2]
         rs = steps_ref[i, 3]
         out_slot = steps_ref[i, 4]
-        node = steps_ref[i, 5]
         ml, sl = child_message(l, ls)
         mr, sr = child_message(r, rs)
         if want_mb:
@@ -572,7 +685,6 @@ def _kernel_store(steps_ref, tips_ref, trans_ref, out_ref, up_ref,
         c1, c2 = copies(out_slot, node)
         c1.start()
         c2.start()
-        return 0
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), step, 0)
 
@@ -895,8 +1007,10 @@ def _kernel_down_tbar(steps_ref, trans_ref, rootd_ref, lnl_ref,
                 dslots_ref[s] = dd
                 dscale_ref[s] = osc
 
-        side(l, ls, u_l, s_l, m_r, s_r)
-        side(r, rs, u_r, s_r, m_l, s_l)
+        @pl.when(steps_ref[i, 5] >= 0)  # skip packed-schedule padding
+        def _real():
+            side(l, ls, u_l, s_l, m_r, s_r)
+            side(r, rs, u_r, s_r, m_l, s_l)
 
     # prologue: prefetch the first (reverse) step's children, then
     # process steps TWO AT A TIME, even half on stages (0,1), odd half
@@ -1053,17 +1167,38 @@ def _fused_downward_tbar_local(
     return tbar * props[None, :, None, None]
 
 
-def device_slot_schedule(tree_host, tree_arrays) -> Tuple[np.ndarray, int]:
-    """Slot schedule with node ids translated to the device numbering
-    used by TreeArrays / branch_transition_mats."""
-    from .schedule import slot_schedule
+def schedule_pack(C: int, S: int) -> int:
+    """Pack factor for the packed forward kernel: how many independent
+    pruning steps fit one 128-row MXU matmul (2*pack*CS <= 128).  1 for
+    shapes the CS kernels don't serve."""
+    CS = C * S
+    if not _cs_packable(C, S):
+        return 1
+    return max(1, 128 // (2 * CS))
 
-    steps, n_slots = slot_schedule(tree_host)
+
+def device_slot_schedule(tree_host, tree_arrays,
+                         pack: int = 1) -> Tuple[np.ndarray, int]:
+    """Slot schedule with node ids translated to the device numbering
+    used by TreeArrays / branch_transition_mats.
+
+    pack > 1 (see schedule_pack) emits the group-packed schedule
+    (schedule.packed_slot_schedule): every aligned group of `pack` rows
+    is independent, padding rows carry node id -1, and the row count
+    strictly exceeds n_taxa-1 — which is how the kernel wrappers detect
+    a packed schedule without any extra plumbing."""
+    from .schedule import packed_slot_schedule, slot_schedule
+
+    if pack > 1:
+        steps, n_slots = packed_slot_schedule(tree_host, pack)
+    else:
+        steps, n_slots = slot_schedule(tree_host)
     h2d = np.asarray(tree_arrays.h2d)
     steps = steps.copy()
+    real = steps[:, 5] >= 0
     steps[:, 0] = h2d[steps[:, 0]]
     steps[:, 1] = h2d[steps[:, 1]]
-    steps[:, 5] = h2d[steps[:, 5]]
+    steps[real, 5] = h2d[steps[real, 5]]
     return steps, n_slots
 
 

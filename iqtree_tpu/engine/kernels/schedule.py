@@ -100,3 +100,117 @@ def slot_schedule(tree: PhyloTree) -> Tuple[np.ndarray, int]:
     emit(root)
     assert len(steps) == N - 1
     return np.asarray(steps, dtype=np.int32), next_slot[0]
+
+
+def packed_slot_schedule(tree: PhyloTree, pack: int) -> Tuple[np.ndarray, int]:
+    """Pack-`pack` slot schedule: steps grouped so that every group of
+    `pack` consecutive rows is mutually independent (each row's children
+    are tips or outputs of strictly earlier groups).  The packed fused
+    kernel then evaluates a whole group with ONE
+    [2*pack*CS, 2*pack*CS] x [2*pack*CS, tile] MXU matmul — at DNA+G4
+    shapes (CS=16, pack=4) that is a full 128-wide systolic pass instead
+    of four 32-row ones, cutting the sequential step count ~3.5x (the
+    hot loop this accelerates replaces /root/reference/phylokernel.h:70).
+
+    Group construction is greedy list scheduling over the ready set
+    (children complete), prioritized by slots freed (keeps live-slot
+    pressure within ~3x of the Sethi-Ullman sequential schedule; ~35
+    slots at 1000 taxa).  Rows that pad a short group carry
+    (0, 0, -1, -1, trash_slot, -1): node id -1 marks them for the
+    reverse-sweep kernels to skip, and the forward kernel writes their
+    output to a dedicated trash slot.  The root step is always the LAST
+    row (kernels read the root slot there), and the row count strictly
+    exceeds n_taxa-1 so wrappers can detect a packed schedule from its
+    shape alone.
+
+    Returns (steps [G*pack, 6] int32, n_slots) — n_slots includes the
+    trash slot.
+    """
+    assert pack >= 2
+    N = tree.n_taxa
+    ch = tree.children
+    parent = tree.parent
+    root = tree.root
+    emitted = np.zeros(2 * N - 1, dtype=bool)
+    emitted[:N] = True
+    ready = set()
+    for v in range(N, 2 * N - 1):
+        l, r = int(ch[v, 0]), int(ch[v, 1])
+        if l < N and r < N and v != root:
+            ready.add(v)
+    if not ready and N == 2:
+        ready = set()
+    slot_of = {}
+    free: list = []
+    next_slot = [0]
+
+    def alloc() -> int:
+        if free:
+            return free.pop()
+        s = next_slot[0]
+        next_slot[0] += 1
+        return s
+
+    def emit_batch(batch, steps):
+        freed = []
+        pk = []
+        for v in batch:
+            l, r = int(ch[v, 0]), int(ch[v, 1])
+            ls = slot_of.get(l, -1)
+            rs = slot_of.get(r, -1)
+            for c, s in ((l, ls), (r, rs)):
+                if s >= 0:
+                    freed.append(s)
+                    del slot_of[c]
+            pk.append((v, l, r, ls, rs))
+        for v, l, r, ls, rs in pk:
+            out = alloc()
+            slot_of[v] = out
+            steps.append((l, r, ls, rs, out, v))
+            emitted[v] = True
+        # slots freed in this group become reusable only in LATER groups:
+        # within-group reuse would let a reverse sweep's D-push (parent
+        # row) overwrite a same-group node's pending dslots read — the
+        # reverse kernels process rows of one group in arbitrary relative
+        # order (strict cross-group ordering is the only guarantee)
+        free.extend(freed)
+        for v, *_ in pk:
+            p = int(parent[v])
+            if p >= 2 * N - 1 or emitted[p] or p == root:
+                continue
+            pl_, pr = int(ch[p, 0]), int(ch[p, 1])
+            if (pl_ < N or emitted[pl_]) and (pr < N or emitted[pr]):
+                ready.add(p)
+
+    steps: list = []
+    pad_rows = 0
+    while ready:
+        batch = sorted(
+            ready,
+            key=lambda v: -int((ch[v, 0] >= N) + (ch[v, 1] >= N)),
+        )[:pack]
+        for v in batch:
+            ready.discard(v)
+        emit_batch(batch, steps)
+        for _ in range(pack - len(batch)):
+            steps.append(None)  # placeholder; trash slot known at the end
+            pad_rows += 1
+    # final group: root last, padded in front; guarantee at least one
+    # padding row overall so rows > N-1 (shape-based pack detection)
+    n_pad_front = pack - 1
+    if pad_rows == 0 and n_pad_front == 0:
+        n_pad_front += pack
+    for _ in range(n_pad_front):
+        steps.append(None)
+    l, r = int(ch[root, 0]), int(ch[root, 1])
+    ls = slot_of.get(l, -1)
+    rs = slot_of.get(r, -1)
+    out = alloc()
+    steps.append((l, r, ls, rs, out, root))
+    trash = next_slot[0]
+    steps = [s if s is not None else (0, 0, -1, -1, trash, -1)
+             for s in steps]
+    arr = np.asarray(steps, dtype=np.int32)
+    assert arr.shape[0] % pack == 0 and arr.shape[0] > N - 1
+    assert int((arr[:, 5] >= 0).sum()) == N - 1
+    return arr, trash + 1

@@ -104,10 +104,23 @@ def transition_matrices(
     # HIGHEST precision: TPU default bf16 matmuls round P(t) hard enough to
     # produce small negative probabilities (observed: -2^-9), which poison
     # log-likelihoods downstream.  These matrices are tiny; full f32 is free.
-    return jnp.einsum(
+    p = jnp.einsum(
         "cij,...cj,cjk->...cik",
         eigvec,
         expo,
         inv_eigvec,
         precision=jax.lax.Precision.HIGHEST,
     )
+    # Floor at a tiny positive value: genuinely minuscule entries (codon
+    # double substitutions across a near-zero branch are O(t^2) ~ 1e-12)
+    # are computed by cancellation of O(1) eigen-terms, and the f64
+    # round-off can flip them NEGATIVE.  One negative entry poisons a
+    # whole pattern's likelihood (-95 lnL observed on GY+F3X4) and turns
+    # the parameter gradient NaN, stalling L-BFGS at its starting point.
+    # P(t) of an irreducible Q is strictly positive for every t > 0, so
+    # the floor never masks a legitimate value.  STRAIGHT-THROUGH
+    # gradient: a hard max() zeroes the cotangent of every floored entry,
+    # which wrecks d lnL/d blen at zero-length branches (P(0)'s
+    # off-diagonals are +-1e-17 round-off but dP/dt = Q there is O(1));
+    # the identity pullback keeps the smooth unclamped derivative.
+    return p + jax.lax.stop_gradient(jnp.maximum(p, 0.0) - p)

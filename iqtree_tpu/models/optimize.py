@@ -146,7 +146,15 @@ class ModelOptimizer:
             )
             p["alpha_logit"] = jnp.asarray(np.log(a0 / (1 - a0)), dtype=dt)
         if self.opt_pinv:
-            p0 = np.clip(self.rate.p_invar / self.max_pinv, 1e-4, 1 - 1e-4)
+            pv = self.rate.p_invar
+            if pv <= 0.0:
+                # start mid-range like the reference (frac_const/2,
+                # model/rateinvar.cpp:26) — initializing at 0 parks the
+                # logit at a saturated rail where the gradient vanishes
+                # and p_invar never moves (seen as +I+G converging to
+                # p_inv ~ 1e-4 with compensating alpha)
+                pv = 0.5 * self.max_pinv
+            p0 = np.clip(pv / self.max_pinv, 1e-4, 1 - 1e-4)
             p["logit_pinv"] = jnp.asarray(np.log(p0 / (1 - p0)), dtype=dt)
         if self.opt_free:
             p["log_free_rates"] = jnp.asarray(

@@ -240,7 +240,12 @@ def run_search_partitioned(
     mode: str = MODE_JOINT,
     model_strs: Optional[List[Optional[str]]] = None,
     pattern_freqs: Optional[List[np.ndarray]] = None,
+    fix_topology: bool = False,
 ) -> PartitionedSearchResult:
+    """fix_topology (-te): skip NNI search entirely; optimize partition
+    models + branch lengths on the user topology only (the reference's
+    -spp/-sp -te behavior, phyloanalysis.cpp runTreeReconstruction with
+    params.min_iterations == 0)."""
     t_start = time.time()
     rng = np.random.default_rng(params.seed)
     log = params.log
@@ -298,6 +303,21 @@ def run_search_partitioned(
     engine = PartitionedNNIEngine(
         models, sites, n_taxa, dtype=dtype, nni5=params.nni5, mode=mode
     )
+    if fix_topology:
+        # -te: no search — the "best" tree IS the user tree; fall through
+        # to the final model optimization below
+        best_lnl, best_tree = lnl, tree.copy()
+        if mode == MODE_UNLINKED:
+            d2h = np.asarray(ta.d2h)
+            bl = np.asarray(blens)
+            for k in range(K):
+                host = np.empty(ta.n_nodes)
+                host[d2h] = bl[k][: ta.n_nodes]
+                engine.part_blens[k] = host
+        stop = StopRule(unsuccess_iteration=0, fixed_iterations=0)
+        return _finalize_partitioned(
+            popt, engine, best_tree, best_lnl, sites, mparams, mode, K,
+            dtype, log, stop, saln, t_start)
     if mode == MODE_UNLINKED:
         d2h = np.asarray(ta.d2h)
         bl = np.asarray(blens)
@@ -332,6 +352,14 @@ def run_search_partitioned(
                 f"{best_lnl:.4f}")
         stop.iteration_done(improved)
 
+    return _finalize_partitioned(
+        popt, engine, best_tree, best_lnl, sites, mparams, mode, K,
+        dtype, log, stop, saln, t_start)
+
+
+def _finalize_partitioned(popt, engine, best_tree, best_lnl, sites,
+                          mparams, mode, K, dtype, log, stop, saln,
+                          t_start):
     # ---- final model optimization ---------------------------------------
     log("Final partition model optimization...")
     ta = TreeArrays.from_tree(best_tree, dtype)

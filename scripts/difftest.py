@@ -152,7 +152,11 @@ def run_case(name, mode, args, ref_bin, tol, timeout):
         f"{ref_bin} {cmd} -nt 2 -pre {ref_pre} -seed 7 -redo > {ref_pre}.out 2>&1",
         shell=True, timeout=timeout,
     )
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # run our CLI on CPU so a concurrent TPU job (bench) is undisturbed;
+    # unset IQTREE_TPU_DIFF_PLATFORM to use the default backend
+    env = dict(os.environ, PYTHONPATH=REPO,
+               IQTREE_TPU_PLATFORM=os.environ.get(
+                   "IQTREE_TPU_DIFF_PLATFORM", "cpu"))
     r2 = subprocess.run(
         f"{sys.executable} -m iqtree_tpu {cmd} -pre {our_pre} --f64 -redo "
         f"> {our_pre}.out 2>&1",

@@ -85,3 +85,54 @@ def test_fused_path_in_optimizers():
     assert abs(float(b_xla) - float(b_fused)) < 0.5, (
         float(b_xla), float(b_fused)
     )
+
+
+def test_packed_schedule_parity():
+    """Pack-4 group schedule (schedule.packed_slot_schedule): forward,
+    custom-VJP gradient, and fused Newton derivatives must equal the
+    sequential pack-1 schedule bit-for-bit (interpret mode)."""
+    import jax
+
+    from iqtree_tpu.engine.grad import loglik_fused_fn
+    from iqtree_tpu.engine.kernels.cs_kernels import fused_newton_derivs
+    from iqtree_tpu.engine.kernels.pruning import schedule_pack
+    from iqtree_tpu.engine.likelihood import tip_partials
+    from iqtree_tpu.engine.nni import _ptn_invar
+
+    tree, aln, subst, rate = make_setup(
+        seed=9, n_taxa=21, n_sites=400, model="GTR", gamma=4, pinv=0.0
+    )
+    ta = TreeArrays.from_tree(tree, jnp.float32)
+    ma = ModelArrays.from_model(subst, rate, jnp.float32)
+    sd = SiteData.from_alignment(aln, jnp.float32)
+    assert schedule_pack(4, 4) == 4
+    s1, ns1 = device_slot_schedule(tree, ta, pack=1)
+    s4, ns4 = device_slot_schedule(tree, ta, pack=4)
+    assert s4.shape[0] > s1.shape[0] and s4.shape[0] % 4 == 0
+    assert int(s4[-1, 5]) == int(s1[-1, 5])  # root step last
+
+    l1, p1 = fused_compute_loglik(ta, ma, sd, jnp.asarray(s1), ns1)
+    l4, p4 = fused_compute_loglik(ta, ma, sd, jnp.asarray(s4), ns4)
+    np.testing.assert_allclose(float(l4), float(l1), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(p4), np.asarray(p1), atol=1e-6)
+
+    def grad_blen(f, s):
+        def neg(b):
+            return -f(ta.with_blen(b), ma, sd, jnp.asarray(s))[0]
+        return jax.grad(neg)(ta.blen)
+
+    g1 = grad_blen(loglik_fused_fn(ns1), s1)
+    g4 = grad_blen(loglik_fused_fn(ns4), s4)
+    np.testing.assert_allclose(np.asarray(g4), np.asarray(g1),
+                               rtol=1e-5, atol=1e-6)
+
+    tips = tip_partials(sd, ma.ncat)
+    pi = _ptn_invar(ma, sd)
+    d1a, d2a = fused_newton_derivs(jnp.asarray(s1), ns1, ma, ta.blen,
+                                   tips, sd.pattern_freq, pi)
+    d1b, d2b = fused_newton_derivs(jnp.asarray(s4), ns4, ma, ta.blen,
+                                   tips, sd.pattern_freq, pi)
+    np.testing.assert_allclose(np.asarray(d1b), np.asarray(d1a),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2b), np.asarray(d2a),
+                               rtol=1e-5, atol=1e-6)
