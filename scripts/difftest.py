@@ -152,14 +152,21 @@ def run_case(name, mode, args, ref_bin, tol, timeout):
         f"{ref_bin} {cmd} -nt 2 -pre {ref_pre} -seed 7 -redo > {ref_pre}.out 2>&1",
         shell=True, timeout=timeout,
     )
+    # stochastic-search cases: bound OUR search effort (-n 15) and run
+    # f32 — the comparison is one-sided (our lnL must reach the
+    # reference's full-search optimum), so fewer iterations only make
+    # the test harder, and f32 noise is far below the 0.5 tolerance.
+    # Exact fixed-topology fits stay f64 for tight lnL comparison.
+    our_extra = ("--f64" if mode != "geq" else
+                 "-n " + os.environ.get("IQTREE_TPU_DIFF_SEARCH_N", "15"))
     # run our CLI on CPU so a concurrent TPU job (bench) is undisturbed;
     # unset IQTREE_TPU_DIFF_PLATFORM to use the default backend
     env = dict(os.environ, PYTHONPATH=REPO,
                IQTREE_TPU_PLATFORM=os.environ.get(
                    "IQTREE_TPU_DIFF_PLATFORM", "cpu"))
     r2 = subprocess.run(
-        f"{sys.executable} -m iqtree_tpu {cmd} -pre {our_pre} --f64 -redo "
-        f"> {our_pre}.out 2>&1",
+        f"{sys.executable} -m iqtree_tpu {cmd} -pre {our_pre} {our_extra} "
+        f"-redo > {our_pre}.out 2>&1",
         shell=True, timeout=timeout, env=env,
     )
     if r1.returncode != 0:
