@@ -156,15 +156,26 @@ def main():
     P = int(site.tip_codes.shape[1])
     C = 4
     S = 4
+    CS = C * S
     n_nodes = 2 * N_TAXA - 2
     # pruning flops: per node, per category: message matmul [S,S]x[S,P]
     # (2 S^2 P) + child-product and rescale (~4 S P elementwise)
     flops = n_nodes * C * (2 * S * S * P + 4 * S * P)
-    # HBM bytes: the fused kernel keeps partials in VMEM; per node it
-    # streams the trans matrices [C,S,S] in and one partial tile out;
-    # the XLA mailbox path re-streams mailbox+partials (~4x more)
+    # HBM bytes of the CS-packed fused kernel: partials stay in VMEM;
+    # per grid (pattern-tile) iteration the whole group-matrix array
+    # re-streams ([rows, 2CS, 2CS] sequential / grouped into
+    # [G, 2*pack*CS, 2*pack*CS] packed — same total within padding), and
+    # the tips stream once overall.  A jax.profiler capture of the eval
+    # loop (scripts/trace_summary.py on IQTREE_TPU_PROFILE output) puts
+    # the DEVICE time at ~5.4 ms/eval vs ~8.5 ms wall (axon-tunnel
+    # dispatch) — the kernel is sequential-latency-bound (288 groups x
+    # ~20 tiles), not at the HBM roof.
     f32 = 4
-    bytes_fused = n_nodes * C * (S * S + 2 * S * P) * f32
+    pack = 4  # schedule_pack(4, 4)
+    rows = int(steps.shape[0])
+    n_tiles = -(-P // 512)  # tile picker lands on 512 at this scale
+    bytes_fused = (rows * pack * (2 * CS) ** 2 * f32 * n_tiles  # grp mats
+                   + N_TAXA * S * P * f32)  # tip partials
     peak_flops = 197e12 / 2  # v5e bf16 394/2 per chip ~ f32 via MXU passes
     peak_bw = 8.1e11  # v5e HBM ~810 GB/s
     mfu = flops / eval_sec / peak_flops
@@ -193,8 +204,9 @@ def main():
         f"{ptn_evals_per_sec:.3g} pattern-lnL evals/s/chip (fused path)\n"
         f"[roofline] ~{flops/1e9:.2f} GFLOP/eval -> MFU {mfu*100:.2f}%; "
         f"~{bytes_fused/1e9:.2f} GB/eval -> HBM-BW {bw_util*100:.1f}% "
-        f"(S=4 work is bandwidth-bound by design: the MXU tile is 128x128, "
-        f"DNA states use 4)\n"
+        f"(profiler: ~5.4ms device / eval; the packed kernel is "
+        f"sequential-latency-bound, not at either roof — S=4 work "
+        f"cannot fill the 128x128 MXU)\n"
         f"[baseline] measured -nt 2: {ref_seconds}s (vs us "
         f"{vs_baseline:.1f}x); 8-thread extrapolation ~{ref_8t_est:.1f}s "
         f"(vs us {vs_8t:.1f}x) — see ref_8t formula in bench.py\n"
