@@ -47,12 +47,17 @@ SEED = 2024
 CACHE = "/tmp/iqtree_tpu_bench_data.npz"
 
 
+REPO_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_data.npz")
+
+
 def load_workload():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from iqtree_tpu.io.alignment import Alignment
 
-    if os.path.exists(CACHE):
-        z = np.load(CACHE, allow_pickle=True)
+    src = REPO_CACHE if os.path.exists(REPO_CACHE) else CACHE
+    if os.path.exists(src):
+        z = np.load(src, allow_pickle=True)
         names = list(z["names"])
         seqs = list(z["seqs"])
         tree_nwk = str(z["tree"])
@@ -182,6 +187,71 @@ def main():
     bw_util = bytes_fused / eval_sec / peak_bw
     ptn_evals_per_sec = P / eval_sec
 
+    # ---- protein + codon fixed-topology fits: the 20- and 61-state
+    # shape classes (round-4 verdict item 3; reference 20/64-state
+    # kernel instantiations /root/reference/phylotreeavx.cpp:34).
+    # Reference numbers in bench_baseline.json (ref_protein_*/ref_codon_*).
+    def _fit_case(npz, model_str, seq_type):
+        z = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 npz), allow_pickle=True)
+        a = Alignment.from_sequences(list(z["names"]), list(z["seqs"]),
+                                     seq_type)
+        t = PhyloTree.from_newick(str(z["tree"]), a.names)
+        su, ra = parse_model_string(model_str, a)
+        op = ModelOptimizer(su, ra, dtype=dtype)
+        si = SiteData.from_alignment(a, dtype)
+        taw = TreeArrays.from_tree(t, dtype)
+        from iqtree_tpu.engine.kernels.pruning import fitting_pack
+        pk = fitting_pack(a.n_taxa, len(ra.category_rates()[0]),
+                          su.num_states, dtype)
+        st_, ns_ = device_slot_schedule(t, taw, pack=pk)
+        st_ = jnp.asarray(st_)
+        # warmup/compile outside the timed region (as the DNA fit does)
+        optimize_model_and_branches(op, taw, si, rounds=1, tol=1e9,
+                                    steps=st_, n_slots=ns_)
+        tt = time.time()
+        _, _, l = optimize_model_and_branches(op, taw, si, rounds=10,
+                                              tol=0.01, steps=st_,
+                                              n_slots=ns_)
+        return time.time() - tt, float(l)
+
+    from iqtree_tpu.io.alignment import Alignment
+
+    base0 = (json.load(open(REF_SECONDS_FILE))
+             if os.path.exists(REF_SECONDS_FILE) else {})
+    prot_sec, prot_lnl = _fit_case("bench_data_protein.npz", "LG+G", "AA")
+    prot_vs = (base0.get("ref_protein_seconds", 0) / prot_sec
+               if prot_sec else None)
+    sys.stderr.write(
+        f"[protein] LG+G 300x2000 fit {prot_sec:.1f}s lnL {prot_lnl:.2f} "
+        f"(reference {base0.get('ref_protein_seconds')}s lnL "
+        f"{base0.get('ref_protein_lnl')}; vs us {prot_vs:.1f}x)\n")
+    codon_sec, codon_lnl = _fit_case("bench_data_codon.npz", "GY+F3X4+G",
+                                     "CODON")
+    codon_vs = (base0.get("ref_codon_seconds", 0) / codon_sec
+                if codon_sec else None)
+    sys.stderr.write(
+        f"[codon] GY+F3X4+G 80x500 fit {codon_sec:.1f}s lnL "
+        f"{codon_lnl:.2f} (reference {base0.get('ref_codon_seconds')}s "
+        f"lnL {base0.get('ref_codon_lnl')}; vs us {codon_vs:.1f}x)\n")
+
+    # ---- tree-search benchmark: the reference's actual headline
+    # workload (stochastic NNI search, iqtree.cpp:1834 doTreeSearch),
+    # round-4 verdict item 1.  Same alignment, matched candidate-set
+    # sizes, 5 search iterations — mirrors the recorded reference run
+    #   iqtree-omp -s bench1000.phy -m GTR+G -n 5 -numpars 8 -toppars 3
+    # (bench_baseline.json ref_search_*).  The whole search runs on the
+    # fused Pallas engine (NNIEngine fused=auto with f32 on TPU).
+    from iqtree_tpu.search.driver import SearchParams, run_search
+
+    t_search = time.time()
+    sp = SearchParams(model="GTR+G", seed=1, n_init_trees=8, n_top_init=3,
+                      fixed_iterations=5, dtype=jnp.float32,
+                      log=lambda m: sys.stderr.write("  [search] " + m + "\n"))
+    sres = run_search(aln, sp)
+    search_seconds = time.time() - t_search
+    search_lnl = float(sres.best_lnl)
+
     ref_seconds = REF_SECONDS
     if ref_seconds is None and os.path.exists(REF_SECONDS_FILE):
         ref_seconds = json.load(open(REF_SECONDS_FILE)).get("ref_seconds")
@@ -194,6 +264,18 @@ def main():
     ref_cpu_seconds = 192.89
     ref_8t_est = ref_cpu_seconds / (8 * 0.85)
     vs_8t = ref_8t_est / our_seconds
+
+    base = (json.load(open(REF_SECONDS_FILE))
+            if os.path.exists(REF_SECONDS_FILE) else {})
+    ref_search_sec = base.get("ref_search_seconds")
+    ref_search_cpu = base.get("ref_search_cpu_seconds")
+    ref_search_lnl = base.get("ref_search_lnl")
+    search_vs_ref = (ref_search_sec / search_seconds
+                     if ref_search_sec else None)
+    ref_search_8t = (ref_search_cpu / (8 * 0.85)
+                     if ref_search_cpu else None)
+    search_vs_8t = (ref_search_8t / search_seconds
+                    if ref_search_8t else None)
 
     sys.stderr.write(
         f"[phases] setup {t_compile-t_setup:.1f}s | "
@@ -210,6 +292,11 @@ def main():
         f"[baseline] measured -nt 2: {ref_seconds}s (vs us "
         f"{vs_baseline:.1f}x); 8-thread extrapolation ~{ref_8t_est:.1f}s "
         f"(vs us {vs_8t:.1f}x) — see ref_8t formula in bench.py\n"
+        f"[search] -n 5 stochastic NNI search (fused engine, incl. jit): "
+        f"{search_seconds:.1f}s lnL {search_lnl:.2f} vs reference "
+        f"{ref_search_sec}s lnL {ref_search_lnl} "
+        f"(vs us {search_vs_ref:.1f}x measured 2-thread, "
+        f"{search_vs_8t:.1f}x vs 8-thread extrapolation)\n"
         f"fit lnL={float(lnl):.2f} in {our_seconds:.1f}s\n"
     )
     print(json.dumps({
@@ -230,6 +317,20 @@ def main():
         "mfu_pct": round(mfu * 100, 3),
         "hbm_bw_util_pct": round(bw_util * 100, 2),
         "final_lnl": round(float(lnl), 2),
+        "protein_fit_seconds": round(prot_sec, 1),
+        "protein_fit_lnl": round(prot_lnl, 2),
+        "protein_vs_ref_2thread": round(prot_vs, 2) if prot_vs else None,
+        "codon_fit_seconds": round(codon_sec, 1),
+        "codon_fit_lnl": round(codon_lnl, 2),
+        "codon_vs_ref_2thread": round(codon_vs, 2) if codon_vs else None,
+        "search_seconds": round(search_seconds, 1),
+        "search_lnl": round(search_lnl, 2),
+        "search_vs_ref_2thread": round(search_vs_ref, 2)
+        if search_vs_ref else None,
+        "search_vs_ref_8thread_est": round(search_vs_8t, 2)
+        if search_vs_8t else None,
+        "ref_search_seconds": ref_search_sec,
+        "ref_search_lnl": ref_search_lnl,
     }))
 
 

@@ -288,6 +288,44 @@ def main(argv: Optional[List[str]] = None) -> int:
     if cfg.write_site_freq and not cfg.site_freq_file:
         log("WARNING: -wsf has no effect without -fs (the model carries "
             "no site-specific frequencies)")
+
+    # ---- -bo/-bc: bootstrap replicates WITHOUT the original-alignment
+    # ML tree (runStandardBootstrap with compute_ml_tree=false,
+    # tools.cpp:2044-2077, phyloanalysis.cpp:2222) -----------------------
+    if cfg.std_bootstrap > 0 and cfg.std_boot_mode in ("only", "consensus"):
+        from .search.driver import SearchParams, run_search
+        from .trees.splits import SplitCounter, consensus_tree, map_supports
+
+        rng = np.random.default_rng(cfg.seed + 1000)
+        counter = SplitCounter(aln.n_taxa)
+        boot_trees = []
+        for b in range(cfg.std_bootstrap):
+            freqs = aln.bootstrap_pattern_freq(rng)
+            sp = SearchParams(
+                model=model_str, seed=cfg.seed + b + 1,
+                n_init_trees=4, n_top_init=2,
+                unsuccess_iteration=min(cfg.unsuccess_iteration, 50),
+                fixed_iterations=cfg.n_iterations,
+                dtype=dtype, log=lambda s: None, pattern_freq=freqs,
+            )
+            r = run_search(aln, sp)
+            counter.add_tree(r.best_tree)
+            boot_trees.append(r.best_tree)
+            log(f"Bootstrap replicate {b + 1}/{cfg.std_bootstrap}: "
+                f"lnL {r.best_lnl:.3f}")
+        with open(prefix + ".boottrees", "w") as f:
+            for t in boot_trees:
+                f.write(t.to_newick(aln.names) + "\n")
+        log(f"  Bootstrap trees:               {prefix}.boottrees")
+        if cfg.std_boot_mode == "consensus":
+            cons, _ = consensus_tree(counter)
+            with open(prefix + ".contree", "w") as f:
+                f.write(cons.to_newick(
+                    aln.names, support=map_supports(cons, counter)) + "\n")
+            log(f"  Consensus tree:                {prefix}.contree")
+        _finish(prefix, log_lines, t0, log)
+        return 0
+
     result = None
     if cfg.site_freq_file:
         # -fs: site-specific state-frequency model (+SSF / ModelSet,
@@ -1058,7 +1096,8 @@ def _run_ssf(cfg, aln, model_str, dtype, log):
             unsuccess_iteration=cfg.unsuccess_iteration,
             fixed_iterations=cfg.n_iterations,
             max_seconds=cfg.max_seconds, dtype=dtype, log=log,
-            ufboot=cfg.ufboot, ssf=(class_freq, ptn_class),
+            ufboot=cfg.ufboot, ufboot_epsilon=cfg.ufboot_epsilon,
+            ssf=(class_freq, ptn_class),
         )
         res = run_search(new_aln, sp)
         tree, lnl, iters = res.best_tree, res.best_lnl, res.iterations
@@ -1096,6 +1135,8 @@ def _run_search(cfg, aln, model_str, dtype, log, ckp=None):
         unsuccess_iteration=cfg.unsuccess_iteration,
         fixed_iterations=cfg.n_iterations,
         max_seconds=cfg.max_seconds,
+        model_eps=cfg.model_eps,
+        mem_cap=cfg.mem_cap,
         weibull_max_iterations=cfg.weibull_max_iterations,
         stop_confidence=cfg.stop_confidence,
         dtype=dtype,
@@ -1105,6 +1146,7 @@ def _run_search(cfg, aln, model_str, dtype, log, ckp=None):
         dist_file=cfg.dist_file,
         log=log,
         ufboot=cfg.ufboot,
+        ufboot_epsilon=cfg.ufboot_epsilon,
         min_correlation=cfg.min_correlation,
         step_iterations=cfg.step_iterations,
         verbose=cfg.verbose,

@@ -57,6 +57,10 @@ class RunConfig:
     quiet: bool = False  # -quiet
     ufboot: int = 0  # -bb replicates
     std_bootstrap: int = 0  # -b replicates (standard, full re-analysis)
+    # -b: replicates + ML tree + consensus; -bc: replicates + consensus
+    # only; -bo: replicates only (tools.cpp:2044-2077 compute_ml_tree /
+    # consensus_type switches)
+    std_boot_mode: str = "full"  # full | consensus | only
     bootstrap_spec: Optional[str] = None  # -bspec GENE|GENESITE
     alrt: int = 0  # -alrt replicates
     alrt_parametric: bool = False  # -alrt 0 (parametric aLRT test)
@@ -120,6 +124,7 @@ class RunConfig:
     min_branch_length: float = 1e-6  # -blmin
     max_branch_length: float = 100.0  # -blmax
     model_eps: Optional[float] = None  # -me lnL tolerance (None = per-mode default)
+    mem_cap: Optional[int] = None  # -mem HBM budget in bytes (None = auto)
     min_rate_cats: int = 2  # -cmin (+R scan lower bound)
     max_rate_cats: int = 10  # -cmax (+R scan upper bound)
     nni5: bool = True  # -nni5/-fivebran vs -nni1/-onebran
@@ -139,6 +144,20 @@ class RunConfig:
     @property
     def out_prefix(self) -> str:
         return self.prefix or self.aln_file or "iqtree_tpu_util"
+
+
+def _parse_mem_arg(s, p):
+    if s is None:
+        return None
+    try:
+        from .engine.banner import parse_mem
+
+        v = parse_mem(s)
+        if v <= 0:
+            raise ValueError(s)
+        return v
+    except ValueError:
+        p.error(f"-mem: cannot parse '{s}' (use e.g. 8G, 500M)")
 
 
 def parse_args(argv) -> RunConfig:
@@ -238,6 +257,10 @@ def parse_args(argv) -> RunConfig:
                         "(genes, then sites within genes)")
     p.add_argument("-b", dest="std_boot", type=int, default=0,
                    help="standard nonparametric bootstrap replicates")
+    p.add_argument("-bc", dest="std_boot_cons", type=int, default=0,
+                   help="bootstrap + consensus tree only (no ML tree)")
+    p.add_argument("-bo", dest="std_boot_only", type=int, default=0,
+                   help="bootstrap replicates only (no ML/consensus tree)")
     p.add_argument("-mset", dest="model_set", default=None,
                    help="restrict -m TEST candidates: raxml/phyml/mrbayes "
                         "or a comma-separated model list")
@@ -345,6 +368,10 @@ def parse_args(argv) -> RunConfig:
                    help="maximum branch length")
     p.add_argument("-me", "-eps", dest="model_eps", type=float, default=None,
                    help="lnL epsilon for model-parameter optimization")
+    p.add_argument("-mem", dest="mem", type=str, default=None,
+                   help="memory budget for engine buffers, e.g. 8G / 500M "
+                        "(phyloanalysis.cpp:1697 mem-save decision); "
+                        "exceeding it degrades to the low-memory engine")
     p.add_argument("-cmin", dest="cmin", type=int, default=2,
                    help="min rate categories for the +R scan (-m TESTNEW)")
     p.add_argument("-cmax", dest="cmax", type=int, default=10,
@@ -487,7 +514,9 @@ def parse_args(argv) -> RunConfig:
         redo=a.redo,
         quiet=a.quiet,
         ufboot=a.ufboot,
-        std_bootstrap=a.std_boot,
+        std_bootstrap=(a.std_boot or a.std_boot_cons or a.std_boot_only),
+        std_boot_mode=("only" if a.std_boot_only else
+                       "consensus" if a.std_boot_cons else "full"),
         bootstrap_spec=a.bootstrap_spec,
         alrt=a.alrt if a.alrt else 0,
         alrt_parametric=a.alrt == 0,  # -alrt 0 = parametric aLRT
@@ -556,6 +585,7 @@ def parse_args(argv) -> RunConfig:
         min_branch_length=a.blmin,
         max_branch_length=a.blmax,
         model_eps=a.model_eps,
+        mem_cap=_parse_mem_arg(a.mem, p),
         min_rate_cats=a.cmin,
         max_rate_cats=a.cmax,
         nni5=a.nni5,

@@ -307,38 +307,30 @@ def pad_site_patterns(site: SiteData, P_pad: int) -> SiteData:
 def fused_all_passes(
     tree: TreeArrays, model: ModelArrays, site: SiteData, steps, n_slots
 ):
-    """all_passes through the fused Pallas upward kernel: partials and
-    parent-mailbox messages stream from VMEM to HBM (9x faster than the
-    XLA mailbox upward at 1000 taxa — the dynamic scatter it pays for is
-    a plain VMEM slot write in the kernel).  Outputs are PADDED to the
-    kernel's pattern tile; the returned SiteData is padded to match."""
-    from .kernels.pruning import fused_upward_store
-    from .likelihood import SCHED_WIDTH
+    """all_passes entirely on the fused Pallas store sweeps: the packed
+    CS kernels for DNA-class shapes, the unpacked store kernels for
+    everything else (protein/codon/mixture).  Round 3 still ran the XLA
+    mailbox downward here; the fused downward-store sweep (round 4)
+    removes the last mailbox pass from the theta path.  Outputs are
+    PADDED to the kernel's pattern tile; the returned SiteData is padded
+    to match."""
+    from .kernels.cs_kernels import fused_nni_passes_cs
+    from .kernels.pruning import _cs_packable, fused_nni_passes_general
 
     trans = branch_transition_mats(model, tree.blen)
     tips = tip_partials(site, model.ncat)
-    W = SCHED_WIDTH
-    up, usc, mb = fused_upward_store(
-        steps, n_slots, trans, tips, want_mailbox=True,
-        mb_rows=tree.n_slots + W,
-    )
-    P = tips.shape[2]
-    P_pad = up.shape[-1]
-    n_taxa = tree.n_taxa
-    tips_p = (
-        jnp.pad(tips, ((0, 0), (0, 0), (0, P_pad - P)), constant_values=1.0)
-        if P_pad != P else tips
-    )
-    # tip rows: the kernel only writes internal nodes
-    up = up.at[:n_taxa].set(tips_p[:, None, :, :])
-    usc = usc.at[:n_taxa].set(0.0)
-    # mailbox message scales = the children's own scales
-    msc = jnp.pad(usc[tree.children], ((0, W), (0, 0), (0, 0)))
-    out, out_scale = downward_pass(tree, trans, mb, msc, model.state_freq)
-    # align row counts with up (the XLA passes carry W padding rows)
-    n = up.shape[0]
-    return (up, usc, out[:n], out_scale[:n], trans,
-            pad_site_patterns(site, P_pad))
+    C, S = model.ncat, model.num_states
+    if _cs_packable(C, S):
+        up, usc, out, out_scale = fused_nni_passes_cs(
+            steps, n_slots, trans, tips, model.props, model.state_freq)
+        n_nodes, _, P_pad = up.shape
+        up = up.reshape(n_nodes, C, S, P_pad)
+        out = out.reshape(n_nodes, C, S, P_pad)
+    else:
+        up, usc, out, out_scale = fused_nni_passes_general(
+            steps, n_slots, trans, tips, model.props, model.state_freq)
+    return (up, usc, out, out_scale, trans,
+            pad_site_patterns(site, up.shape[-1]))
 
 
 def optimize_branch_mask(tree: TreeArrays) -> jnp.ndarray:

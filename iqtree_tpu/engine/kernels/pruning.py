@@ -410,21 +410,63 @@ def fused_site_lnl(
 
 
 def _pick_tile_cs(n_taxa, n_steps, CS, S, n_slots, dtype,
-                  budget: int = None) -> int:
+                  budget: int = None, pack: int = None,
+                  strict: bool = False) -> int:
     """Largest pattern tile for the CS-packed kernel: double-buffered
-    tips block + pair matrices + slots/staging under the scoped budget."""
+    tips block + pair/group matrices + slots/staging under the scoped
+    budget.
+
+    The pair operand is accounted SINGLE-buffered (its block index map
+    is constant, so the grid revisits one copy) at
+    n_steps * pack * (2CS)^2 elements — pack_group_mats inflates the
+    per-row footprint pack-fold vs the sequential schedule (round-3
+    advisor finding: the old model missed this and over-reported fits).
+    pack=None infers the group factor from the schedule length (rows
+    beyond n_taxa-1 mean a packed schedule).  strict=True returns 0
+    instead of the 128 floor when even the smallest tile exceeds the
+    budget — callers then fall back to the pack-1 schedule."""
     if budget is None:
         budget = default_vmem_budget()
+    if pack is None:
+        pack = schedule_pack_for_rows(n_taxa, n_steps, CS)
     itemsize = jnp.dtype(dtype).itemsize
     S_pad = -(-S // 8) * 8
-    pair = 2 * n_steps * (2 * CS) * (2 * CS) * itemsize
+    pair = n_steps * pack * (2 * CS) * (2 * CS) * itemsize
     fudge = 4 * 2**20
     for tile in (2048, 1024, 512, 256, 128):
         tips2 = 2 * n_taxa * S_pad * tile * itemsize
-        slots = (n_slots * CS + n_slots * 8 + 2 * CS) * tile * itemsize
+        slots = (n_slots * CS + n_slots * 8 + 2 * pack * CS) * tile * itemsize
         if pair + tips2 + slots + fudge <= budget:
             return tile
+    if strict:
+        return 0
     return 128
+
+
+def schedule_pack_for_rows(n_taxa: int, n_steps: int, CS: int) -> int:
+    """Group factor implied by a schedule's row count: 1 for the
+    sequential Sethi-Ullman schedule (exactly n_taxa-1 rows), else the
+    shape-derived pack (packed schedules always exceed n_taxa-1 rows)."""
+    if n_steps <= n_taxa - 1:
+        return 1
+    return max(1, 128 // (2 * CS))
+
+
+def fitting_pack(n_taxa: int, C: int, S: int, dtype=jnp.float32,
+                 n_slots_est: int = 48) -> int:
+    """Largest usable group-pack factor for this problem size: the
+    shape pack (schedule_pack) when the group matrices fit the scoped-
+    VMEM budget at the minimum tile, else 1 (sequential schedule) —
+    the fallback the round-3 advisor asked for."""
+    pack = schedule_pack(C, S)
+    if pack <= 1:
+        return 1
+    CS = C * S
+    rows = (-(-(n_taxa - 1) // pack) + 2) * pack
+    if _pick_tile_cs(n_taxa, rows, CS, S, n_slots_est, dtype,
+                     pack=pack, strict=True) == 0:
+        return 1
+    return pack
 
 
 def _fused_site_lnl_cs_local(
@@ -1165,6 +1207,310 @@ def _fused_downward_tbar_local(
     if S != S0:
         tbar = tbar[:, :, :S0, :S0]
     return tbar * props[None, :, None, None]
+
+
+def _kernel_down_store(steps_ref, trans_ref, rootd_ref, up_hbm, usc_hbm,
+                       rootsc_ref, out_hbm, osc_hbm, dslots_ref,
+                       dscale_ref, ustage_ref, sstage_ref, ostage_ref,
+                       oscstage_ref, usems, ssems, osems, oscsems, *,
+                       n_steps: int, tile: int, trash: int):
+    """Unpacked reverse sweep that STORES every node's outside partial
+    O_v [C, S, tile] (+ 8-replicated log-scale) to HBM — the general-
+    shape (protein/codon/mixture) companion of _kernel_down_store_cs,
+    structured like _kernel_down_tbar with the cotangent accumulation
+    replaced by double-buffered DMA writes.  Together with
+    fused_upward_store this supplies the batched NNI evaluator's (up,
+    out) buffers (engine/nni.py) without the XLA mailbox passes."""
+    C = trans_ref.shape[1]
+    S = trans_ref.shape[2]
+    f32 = dslots_ref.dtype
+    i_tile = pl.program_id(0)
+
+    def copies(k, c_node):
+        c1 = pltpu.make_async_copy(
+            up_hbm.at[c_node, :, :, pl.ds(i_tile * tile, tile)],
+            ustage_ref.at[k], usems.at[k],
+        )
+        c2 = pltpu.make_async_copy(
+            usc_hbm.at[c_node, :, pl.ds(i_tile * tile, tile)],
+            sstage_ref.at[k], ssems.at[k],
+        )
+        return c1, c2
+
+    def fetch(k, c_node):
+        c1, c2 = copies(k, c_node)
+        c1.start()
+        c2.start()
+
+    def await_(k):
+        c1, c2 = copies(k, jnp.int32(0))
+        c1.wait()
+        c2.wait()
+
+    def ocopies(k, node):
+        # pin stage/node indices to i32 (x64 mode lowers Python ints as
+        # i64, which Mosaic's memref_slice rejects)
+        k = jnp.int32(k)
+        node = jnp.int32(node)
+        c1 = pltpu.make_async_copy(
+            ostage_ref.at[k],
+            out_hbm.at[node, :, :, pl.ds(i_tile * tile, tile)],
+            osems.at[k],
+        )
+        c2 = pltpu.make_async_copy(
+            oscstage_ref.at[k],
+            osc_hbm.at[node, :, pl.ds(i_tile * tile, tile)],
+            oscsems.at[k],
+        )
+        return c1, c2
+
+    def oprime(k, _):
+        c1, c2 = ocopies(k, jnp.int32(trash))
+        c1.start()
+        c2.start()
+        return 0
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(4), oprime, 0)
+
+    def do_step(i, k0: int, k1: int):
+        kn = k0 ^ 2
+
+        @pl.when(i - 1 >= 0)
+        def _prefetch():
+            fetch(jnp.int32(kn), steps_ref[i - 1, 0])
+            fetch(jnp.int32(kn + 1), steps_ref[i - 1, 1])
+
+        l = steps_ref[i, 0]
+        r = steps_ref[i, 1]
+        ls = steps_ref[i, 2]
+        rs = steps_ref[i, 3]
+        out_slot = steps_ref[i, 4]
+
+        def root_case(_):
+            d = jnp.broadcast_to(rootd_ref[...][:, :, None], (C, S, tile))
+            return d.astype(f32), jnp.zeros((tile,), f32)
+
+        def slot_case(_):
+            s = jnp.maximum(out_slot, 0)
+            return dslots_ref[s], dscale_ref[s]
+
+        d, dsc = jax.lax.cond(i == n_steps - 1, root_case, slot_case, None)
+
+        await_(jnp.int32(k0))
+        await_(jnp.int32(k1))
+        u_l, s_l = ustage_ref[k0], sstage_ref[k0, 0, :]
+        u_r, s_r = ustage_ref[k1], sstage_ref[k1, 0, :]
+
+        def msg(c_node, u):
+            return jax.lax.dot_general(
+                trans_ref[c_node], u,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        m_l = msg(l, u_l)
+        m_r = msg(r, u_r)
+
+        def side(kk: int, c_node, c_slot, m_sib, s_sib):
+            y = d * m_sib  # unnormalized O_child [C,S,tile]
+            mx = jnp.maximum(jnp.max(y, axis=(0, 1)), SCALE_TINY)
+            o = y / mx[None, None, :]
+            osc = dsc + s_sib + jnp.log(mx)
+            c1, c2 = ocopies(kk, jnp.int32(0))
+            c1.wait()
+            c2.wait()
+            ostage_ref[kk] = o
+            oscstage_ref[kk] = jnp.broadcast_to(osc[None, :], (8, tile))
+            c1, c2 = ocopies(kk, c_node)
+            c1.start()
+            c2.start()
+
+            @pl.when(c_slot >= 0)
+            def _push():
+                dd = jax.lax.dot_general(
+                    trans_ref[c_node], o,
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                s = jnp.maximum(c_slot, 0)
+                dslots_ref[s] = dd
+                dscale_ref[s] = osc
+
+        @pl.when(steps_ref[i, 5] >= 0)  # skip packed-schedule padding
+        def _real():
+            side(k0, l, ls, m_r, s_r)
+            side(k1, r, rs, m_l, s_l)
+
+    fetch(jnp.int32(0), steps_ref[n_steps - 1, 0])
+    fetch(jnp.int32(1), steps_ref[n_steps - 1, 1])
+
+    def pair(j2, _):
+        i = n_steps - 1 - 2 * j2
+        do_step(i, 0, 1)
+
+        @pl.when(i - 1 >= 0)
+        def _odd():
+            do_step(i - 1, 2, 3)
+
+        return 0
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32((n_steps + 1) // 2), pair, 0)
+
+    def odrain(k, _):
+        c1, c2 = ocopies(k, jnp.int32(0))
+        c1.wait()
+        c2.wait()
+        return 0
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(4), odrain, 0)
+    rootsc_ref[0, :] = jnp.zeros((tile,), f32)
+
+
+def _fused_down_store_local(
+    steps, n_slots, trans, up, usc8, props, state_freq, *,
+    tile: int, interpret=None,
+):
+    """(out [2N, C, S_pad, P_pad], osc [2N, P_pad]) — outside partials
+    for every non-root node via the unpacked reverse-store sweep.
+
+    `up`/`usc8` come from fused_upward_store(want_scale8=True) with TIP
+    ROWS FILLED (broadcast tip partials, zero scales); `trans` and
+    `state_freq` must carry the SAME padded state axis as `up`."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    n_nodes, C, S, P_pad = up.shape
+    steps = steps.astype(jnp.int32)
+    n_steps = steps.shape[0]
+    assert P_pad % tile == 0
+    # bare state frequencies: the downward_pass contract (props applied
+    # later in the theta reductions, not in the outside partials)
+    rootd = state_freq  # [C, S]
+    dtype = trans.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P_pad // tile,),
+        in_specs=[
+            pl.BlockSpec(trans.shape,
+                         lambda i, s: (i * 0, i * 0, i * 0, i * 0)),
+            pl.BlockSpec((C, S), lambda i, s: (i * 0, i * 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # up
+            pl.BlockSpec(memory_space=pltpu.ANY),  # usc8
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile), lambda i, s: (i * 0, i)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # out
+            pl.BlockSpec(memory_space=pltpu.ANY),  # osc
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, C, S, tile), dtype),
+            pltpu.VMEM((n_slots, tile), dtype),
+            pltpu.VMEM((4, C, S, tile), dtype),
+            pltpu.VMEM((4, 8, tile), dtype),
+            pltpu.VMEM((4, C, S, tile), dtype),
+            pltpu.VMEM((4, 8, tile), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    _, out, osc8 = pl.pallas_call(
+        functools.partial(_kernel_down_store, n_steps=n_steps, tile=tile,
+                          trash=n_nodes - 1),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, P_pad), dtype),
+            jax.ShapeDtypeStruct((n_nodes, C, S, P_pad), dtype),
+            jax.ShapeDtypeStruct((n_nodes, 8, P_pad), dtype),
+        ],
+        interpret=interpret,
+    )(steps, trans, rootd, up, usc8)
+    return out, osc8[:, 0, :]
+
+
+def fused_nni_passes_general(
+    steps: jnp.ndarray,
+    n_slots: int,
+    trans: jnp.ndarray,  # [2N, C, S, S]
+    tipsP: jnp.ndarray,  # [N, S, P]
+    props: jnp.ndarray,  # [C]
+    state_freq: jnp.ndarray,  # [C, S]
+    interpret: bool = None,
+):
+    """(up, up_scale, out, out_scale) for the batched NNI evaluator via
+    the unpacked fused store sweeps; serves any (C, S) whose transition
+    block fits VMEM (protein, codon at moderate taxon counts, mixtures).
+    State axis is padded to a sublane multiple internally and SLICED
+    back; pattern axis stays tile-padded (weight padding 0).  Under an
+    active mesh both sweeps run per-shard over the pattern axis."""
+    from ...parallel import PATTERN_AXIS, get_mesh
+
+    mesh = get_mesh()
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as PS
+
+        def local(steps_, trans_, tips_):
+            up, usc, out, osc = _fused_nni_passes_general_local(
+                steps_, n_slots, trans_, tips_, props, state_freq,
+                interpret=interpret,
+            )
+            P = tips_.shape[2]
+            return (up[..., :P], usc[..., :P], out[..., :P], osc[..., :P])
+
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(PS(), PS(), PS(None, None, PATTERN_AXIS)),
+            out_specs=(PS(None, None, None, PATTERN_AXIS),
+                       PS(None, PATTERN_AXIS),
+                       PS(None, None, None, PATTERN_AXIS),
+                       PS(None, PATTERN_AXIS)),
+            check_vma=False,
+        )
+        return f(steps, trans, tipsP)
+    return _fused_nni_passes_general_local(
+        steps, n_slots, trans, tipsP, props, state_freq,
+        interpret=interpret,
+    )
+
+
+def _fused_nni_passes_general_local(
+    steps, n_slots, trans, tipsP, props, state_freq, *, interpret=None,
+):
+    n_taxa, S0, P = tipsP.shape
+    C = trans.shape[1]
+    up, usc, usc8 = _fused_upward_store_local(
+        steps, trans, tipsP, n_slots=n_slots, interpret=interpret,
+        want_scale8=True,
+    )
+    S = up.shape[2]  # padded state axis
+    P_pad = up.shape[-1]
+    tips_p = tipsP
+    if S != S0:
+        tips_p = jnp.pad(tips_p, ((0, 0), (0, S - S0), (0, 0)))
+        trans = jnp.pad(trans, ((0, 0), (0, 0), (0, S - S0), (0, S - S0)))
+        state_freq = jnp.pad(state_freq, ((0, 0), (0, S - S0)))
+    if P_pad != P:
+        tips_p = jnp.pad(tips_p, ((0, 0), (0, 0), (0, P_pad - P)),
+                         constant_values=1.0)
+    up = up.at[:n_taxa].set(tips_p[:, None, :, :])
+    usc8 = usc8.at[:n_taxa].set(0.0)
+    usc = usc8[:, 0, :]  # refresh AFTER the tip fill (tip scales = 0)
+    # the upward store picked its own tile; use the largest tile the
+    # picker allows that divides P_pad
+    t = pick_tile(n_taxa, trans.shape[0], C, S, n_slots, trans.dtype)
+    while P_pad % t:
+        t //= 2
+    out, osc = _fused_down_store_local(
+        steps, n_slots, trans, up, usc8, props, state_freq,
+        tile=t, interpret=interpret,
+    )
+    if S != S0:
+        up = up[:, :, :S0, :]
+        out = out[:, :, :S0, :]
+    return up, usc, out, osc
 
 
 def schedule_pack(C: int, S: int) -> int:

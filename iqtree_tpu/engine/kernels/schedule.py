@@ -213,4 +213,41 @@ def packed_slot_schedule(tree: PhyloTree, pack: int) -> Tuple[np.ndarray, int]:
     arr = np.asarray(steps, dtype=np.int32)
     assert arr.shape[0] % pack == 0 and arr.shape[0] > N - 1
     assert int((arr[:, 5] >= 0).sum()) == N - 1
+    validate_packed_schedule(arr, pack)
     return arr, trash + 1
+
+
+def validate_packed_schedule(steps: np.ndarray, pack: int) -> None:
+    """Assert every aligned group of `pack` rows is mutually independent
+    (no row consumes a slot produced within its own group) and the root
+    is the last row — guards against a schedule built with a different
+    pack factor being grouped incorrectly (round-3 advisor finding: the
+    kernels infer pack from shape alone, which a mismatched schedule
+    could satisfy while silently mixing dependent steps)."""
+    R = steps.shape[0]
+    assert R % pack == 0, (R, pack)
+    for g in range(R // pack):
+        grp = steps[g * pack:(g + 1) * pack]
+        outs = set(int(o) for o, n in zip(grp[:, 4], grp[:, 5]) if n >= 0)
+        for row in grp:
+            if row[5] < 0:
+                continue
+            for c in (int(row[2]), int(row[3])):
+                assert c < 0 or c not in outs, (
+                    f"group {g} consumes slot {c} produced in-group")
+
+
+def pad_packed_rows(steps: np.ndarray, pack: int, rows: int) -> np.ndarray:
+    """Pad a packed schedule to exactly `rows` rows by inserting no-op
+    groups BEFORE the final group (the kernels read the root from the
+    LAST row).  Used to keep the schedule shape stable across the
+    topologies of one search so jitted programs never respecialize."""
+    cur = steps.shape[0]
+    if cur == rows:
+        return steps
+    assert rows > cur and (rows - cur) % pack == 0, (cur, rows, pack)
+    pad_mask = steps[:, 5] < 0
+    assert pad_mask.any(), "packed schedules always carry a padding row"
+    pad_row = steps[np.argmax(pad_mask)]
+    pad = np.tile(pad_row, (rows - cur, 1))
+    return np.concatenate([steps[:-pack], pad, steps[-pack:]])

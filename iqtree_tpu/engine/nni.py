@@ -179,12 +179,23 @@ def evaluate_nnis(
     local_rounds: int = 2,
     final_newton: int = 2,
     want_site_lnl: bool = False,
+    steps: jnp.ndarray = None,
+    n_slots: int = 0,
+    edge_chunk: int = 0,
 ) -> NNIEval:
     """Evaluate both NNIs on every given edge (vmapped).
 
     nni5=True re-optimizes all 5 local branch lengths (reference default,
     phylotree.cpp getBestNNIForBran with params->nni5); nni5=False only
     the central one.
+
+    With a slot schedule (steps, n_slots) the two global passes run on
+    the FUSED Pallas store kernels (packed CS sweeps for DNA-class
+    shapes, unpacked store sweeps otherwise) instead of the XLA mailbox
+    engine — the round-4 search fast path: the mailbox passes measure
+    ~25x slower than the fused kernels at 1000 taxa (BENCH_r03), and
+    they dominate every evaluate_nnis call.  The per-candidate local
+    re-optimization that follows is unchanged (batched XLA einsums).
 
     Site-specific models (SSFArrays, engine/sitemodel.py) dispatch to
     the per-pattern-basis primitives — the search machinery is shared
@@ -218,12 +229,33 @@ def evaluate_nnis(
     else:
         trans = branch_transition_mats(model, tree.blen)
         tips = tip_partials(site, model.ncat)
-        up, up_scale, mb, msc = upward_pass(
-            tree, trans, tips, return_mailbox=True
-        )
-        out, out_scale = downward_pass(
-            tree, trans, mb, msc, model.state_freq, with_d=False
-        )
+        if steps is not None and model.qmat is None:
+            from .derivatives import pad_site_patterns
+            from .kernels.cs_kernels import fused_nni_passes_cs
+            from .kernels.pruning import _cs_packable, fused_nni_passes_general
+
+            C, S = model.ncat, model.num_states
+            if _cs_packable(C, S):
+                up, up_scale, out, out_scale = fused_nni_passes_cs(
+                    steps, n_slots, trans, tips, model.props,
+                    model.state_freq,
+                )
+                n_nodes, _, P_pad = up.shape
+                up = up.reshape(n_nodes, C, S, P_pad)
+                out = out.reshape(n_nodes, C, S, P_pad)
+            else:
+                up, up_scale, out, out_scale = fused_nni_passes_general(
+                    steps, n_slots, trans, tips, model.props,
+                    model.state_freq,
+                )
+            site = pad_site_patterns(site, up.shape[-1])
+        else:
+            up, up_scale, mb, msc = upward_pass(
+                tree, trans, tips, return_mailbox=True
+            )
+            out, out_scale = downward_pass(
+                tree, trans, mb, msc, model.state_freq, with_d=False
+            )
         ptn_invar = _ptn_invar(model, site)
         papply = lambda t, x: _apply(_pmat(model, t), x)
         papply_t = lambda t, x: _apply_t(_pmat(model, t), x)
@@ -313,7 +345,28 @@ def evaluate_nnis(
     eval_v = jax.vmap(
         jax.vmap(eval_edge, in_axes=(None, 0)), in_axes=(0, None)
     )
-    lnls, t_centers, site_lnls = eval_v(edges, jnp.arange(2))
+    E = edges.shape[0]
+    if edge_chunk and E > edge_chunk:
+        # bound peak memory: the full vmap materializes per-candidate
+        # [C,S,P] messages for EVERY edge at once (multi-GB at 1000 taxa
+        # x 10k patterns); lax.map over edge blocks keeps only one
+        # block's temporaries live.  Padding edges repeat edge 0 and are
+        # sliced off.
+        B = edge_chunk
+        E_pad = -(-E // B) * B
+        epad = jnp.concatenate(
+            [edges, jnp.broadcast_to(edges[:1], (E_pad - E,))])
+        lnls, t_centers, site_lnls = jax.lax.map(
+            lambda chunk: eval_v(chunk, jnp.arange(2)),
+            epad.reshape(E_pad // B, B),
+        )
+        lnls = lnls.reshape(E_pad, 2)[:E]
+        t_centers = t_centers.reshape(E_pad, 2)[:E]
+        if site_lnls is not None:
+            site_lnls = site_lnls.reshape(
+                (E_pad, 2) + site_lnls.shape[3:])[:E]
+    else:
+        lnls, t_centers, site_lnls = eval_v(edges, jnp.arange(2))
     return NNIEval(
         lnl=lnls,
         center_blen=t_centers,

@@ -60,6 +60,9 @@ class SearchParams:
     # -sr: Weibull predicted-iteration stopping (SC_WEIBULL)
     weibull_max_iterations: Optional[int] = None
     stop_confidence: float = 0.95
+    # -me/-eps: lnL tolerance of the final model-parameter optimization
+    # (params.modeps; reference modelfactory.cpp:937 epsilon)
+    model_eps: Optional[float] = None
     dtype: object = jnp.float64
     nni5: bool = True
     start_tree: Optional[str] = None  # newick string (-t/-te)
@@ -68,6 +71,7 @@ class SearchParams:
     log: Callable[[str], None] = print
     # UFBoot (-bb): replicates; correlation checked every step_iterations
     ufboot: int = 0
+    ufboot_epsilon: float = 0.5  # -beps (RELL tie slack, iqtree.cpp:2738)
     step_iterations: int = 100
     min_correlation: float = 0.99
     max_boot_iterations: int = 1000
@@ -76,6 +80,10 @@ class SearchParams:
     # -fs site-specific frequency model: (class_freq [K,S], ptn_class [P]);
     # the whole search then runs on the SSF engine (engine/sitemodel.py)
     ssf: object = None
+    # -mem: HBM budget in bytes for the fused store buffers; exceeding it
+    # degrades to the mailbox engine instead of OOMing (the reference's
+    # mem-save decision, phyloanalysis.cpp:1697-1725)
+    mem_cap: Optional[int] = None
     # standard bootstrap support: replace pattern frequencies (the
     # resampled alignment has the same patterns with new weights, so the
     # same compiled programs serve every replicate)
@@ -231,7 +239,19 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         else jax.jit(opt.build)(mparams)
     )
     engine = NNIEngine(model_arrays, site, dtype=dtype, nni5=params.nni5,
-                       ub_filter=params.ub_filter, ub_frac=params.ub_frac)
+                       ub_filter=params.ub_filter, ub_frac=params.ub_frac,
+                       mem_cap=params.mem_cap)
+    if engine.decision is not None and params.ssf is None:
+        # reference-style startup banner: which kernel path and why,
+        # plus the pre-run memory estimate (pda.cpp:2252-2322,
+        # phylotree.cpp:763 getMemoryRequired)
+        from ..engine.banner import engine_banner
+
+        for line in engine_banner(
+            engine.decision, aln.n_taxa, model_arrays.ncat,
+            model_arrays.num_states, int(site.tip_codes.shape[1]),
+        ).splitlines():
+            log(line)
 
     # ---- UFBoot setup -------------------------------------------------
     ufboot = None
@@ -239,7 +259,8 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     if params.ufboot > 0:
         from .ufboot import UFBoot
 
-        ufboot = UFBoot(aln, params.ufboot, rng, dtype=dtype)
+        ufboot = UFBoot(aln, params.ufboot, rng, dtype=dtype,
+                        epsilon=params.ufboot_epsilon)
         log(f"Ultrafast bootstrap: {params.ufboot} replicates (RELL on MXU)")
 
         def on_tree(t, lnl):
@@ -367,7 +388,8 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     log("Final model parameter optimization...")
     ta = TreeArrays.from_tree(best_tree, dtype)
     ta, mparams, best_lnl = _optimize_mb(
-        opt, ta, site, params=mparams, rounds=15, tol=0.001
+        opt, ta, site, params=mparams, rounds=15,
+        tol=params.model_eps if params.model_eps else 0.001,
     )
     best_tree.blen = ta.host_blen()
     # multi-host: rank 0's final tree is authoritative so every host

@@ -356,6 +356,33 @@ def _rate_scan_freerate(aln, site, ta, dtype, st, model_set, model_subset,
 
     crit = criterion.upper()
     pick = {"AIC": 0, "AICC": 1, "BIC": 2}[crit]
+
+    # Consistent-effort guard (round-3 advisor): the base candidates come
+    # from the batched class fitters while the +R fits below run the
+    # single-model optimizer; before comparing across families, refit the
+    # current criterion-best BASE model through the SAME single-fit path
+    # (same rounds/tol) and keep the better lnL — IC comparisons are then
+    # apples-to-apples lower bounds of the same objective.
+    if results:
+        key = {"AIC": lambda r: r.aic, "AICC": lambda r: r.aicc,
+               "BIC": lambda r: r.bic}[crit]
+        best_i = min(range(len(results)), key=lambda i: key(results[i]))
+        best = results[best_i]
+        try:
+            subst_b, rate_b = parse_model_string(best.name, aln)
+            opt_b = ModelOptimizer(subst_b, rate_b, dtype=dtype)
+            _, _, lnl_b = optimize_model_and_branches(
+                opt_b, ta, site, rounds=4, tol=0.05)
+            if float(lnl_b) > best.lnl:
+                import dataclasses
+
+                aic, aicc, bic = information_scores(
+                    float(lnl_b), best.df, ssize)
+                results[best_i] = dataclasses.replace(
+                    best, lnl=float(lnl_b), aic=aic, aicc=aicc, bic=bic)
+        except Exception:
+            pass  # display-name variants the parser can't round-trip
+
     scan = []  # (model-string base, display base, base df)
     if st == SEQ_DNA:
         names = candidate_models(st, model_set)

@@ -24,7 +24,7 @@ from ..io.alignment import Alignment
 from ..trees.splits import SplitCounter, consensus_tree, map_supports, tree_splits
 from ..trees.tree import PhyloTree
 
-RELL_EPSILON = 0.5  # logl_cutoff slack like the reference's epsilon
+RELL_EPSILON = 0.5  # default -beps (params.ufboot_epsilon, tools.cpp)
 
 
 class UFBoot:
@@ -34,9 +34,16 @@ class UFBoot:
         n_replicates: int,
         rng: np.random.Generator,
         dtype=jnp.float32,
+        epsilon: float = RELL_EPSILON,
     ):
         self.aln = aln
         self.B = n_replicates
+        # -beps: a tree whose RELL is within +-epsilon of a sample's
+        # best ties with it and replaces it with probability
+        # 1/(tie_count+1) (saveCurrentTree, iqtree.cpp:2738-2752)
+        self.epsilon = float(epsilon)
+        self._rng = rng
+        self.boot_counts = np.zeros(n_replicates, dtype=np.int64)
         probs = aln.pattern_freq / aln.pattern_freq.sum()
         freqs = rng.multinomial(aln.n_sites, probs, size=n_replicates)
         self.boot_freqs = jnp.asarray(freqs, dtype=dtype)  # [B, P]
@@ -60,8 +67,12 @@ class UFBoot:
         P = self.boot_freqs.shape[1]
         rell = np.asarray(self._rell(jnp.asarray(pattern_lnl[:P],
                                                  self.boot_freqs.dtype)))
-        better = rell > self.boot_logl + 1e-9
-        if not better.any():
+        better = rell > self.boot_logl + self.epsilon
+        near = (~better) & (rell > self.boot_logl - self.epsilon)
+        rd = self._rng.uniform()
+        tie_take = near & (rd <= 1.0 / (self.boot_counts + 1))
+        take = better | tie_take
+        if not take.any():
             return
         key = tree.splits_key()
         tid = self._tree_keys.get(key)
@@ -69,8 +80,10 @@ class UFBoot:
             tid = len(self._trees)
             self._trees.append(tree.copy())
             self._tree_keys[key] = tid
-        self.boot_logl[better] = rell[better]
-        self.boot_tree_id[better] = tid
+        self.boot_counts[tie_take] += 1
+        self.boot_counts[better] = 1
+        self.boot_logl[take] = np.maximum(self.boot_logl[take], rell[take])
+        self.boot_tree_id[take] = tid
 
     # -- summaries ------------------------------------------------------
     def split_counter(self) -> SplitCounter:
@@ -112,6 +125,7 @@ class UFBoot:
         last convergence-check split frequencies."""
         return {
             "boot_logl": self.boot_logl.tolist(),
+            "boot_counts": self.boot_counts.tolist(),
             "boot_tree_id": self.boot_tree_id.tolist(),
             "trees": [t.to_newick(names) for t in self._trees],
             "ckp_freqs": (
@@ -122,6 +136,9 @@ class UFBoot:
 
     def restore(self, state: dict, names) -> None:
         self.boot_logl = np.asarray(state["boot_logl"], dtype=np.float64)
+        if "boot_counts" in state:
+            self.boot_counts = np.asarray(state["boot_counts"],
+                                          dtype=np.int64)
         self.boot_tree_id = np.asarray(state["boot_tree_id"], dtype=np.int64)
         self._trees = [
             PhyloTree.from_newick(nwk, names) for nwk in state["trees"]
