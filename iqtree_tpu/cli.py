@@ -999,15 +999,38 @@ def _run_fixed_topology(cfg, aln, model_str, dtype, log):
     opt = ModelOptimizer(subst, rate, dtype=dtype)
     site = SiteData.from_alignment(aln, dtype, asc=subst.asc)
     ta = TreeArrays.from_tree(tree, dtype)
+    # engine selection + banner (round-4: the -te fast path previously
+    # required calling the library directly with a slot schedule)
+    from .engine.banner import decide_engine, engine_banner
+    from .models.nonrev import NonRevModel
+
+    ncat = len(rate.category_rates()[0])
+    dec = decide_engine(
+        aln.n_taxa, ncat, subst.num_states,
+        int(site.tip_codes.shape[1]), dtype, has_asc=subst.asc,
+        is_nonrev=isinstance(subst, NonRevModel), mem_cap=cfg.mem_cap)
+    for line in engine_banner(dec, aln.n_taxa, ncat, subst.num_states,
+                              int(site.tip_codes.shape[1])).splitlines():
+        log(line)
+    steps, n_slots = None, 0
+    if dec.fused:
+        from .engine.kernels.pruning import (device_slot_schedule,
+                                             fitting_pack)
+
+        pk = fitting_pack(aln.n_taxa, ncat, subst.num_states, dtype)
+        steps, n_slots = device_slot_schedule(tree, ta, pack=pk)
+        steps = jnp.asarray(steps)
     if cfg.fix_branch_lengths:
         params = opt.init_params()
         params, lnl = jax.jit(
-            lambda t, p: fit_model_step(opt, t, site, p, 100)
+            lambda t, p: fit_model_step(opt, t, site, p, 100,
+                                        steps=steps, n_slots=n_slots)
         )(ta, params)
         log(f"Optimal log-likelihood: {float(lnl):.4f}")
     else:
         ta, params, lnl = optimize_model_and_branches(
-            opt, ta, site, tol=cfg.model_eps if cfg.model_eps else 0.001)
+            opt, ta, site, tol=cfg.model_eps if cfg.model_eps else 0.001,
+            steps=steps, n_slots=n_slots)
         tree.blen = ta.host_blen()
         log(f"Optimal log-likelihood: {float(lnl):.4f}")
     subst, rate = opt.unpack(params)

@@ -102,7 +102,7 @@ def _kernel_store_cs(steps_ref, tips_ref, pair_ref, out_ref, up_ref,
         return sscale_ref[jnp.maximum(c_slot, 0)] * (c_slot >= 0)
 
     def step(i, _):
-        node = steps_ref[i, 5]
+        node = steps_ref[5, i]
 
         @pl.when(node >= 0)  # packed-schedule padding rows are no-ops
         def _real():
@@ -110,11 +110,11 @@ def _kernel_store_cs(steps_ref, tips_ref, pair_ref, out_ref, up_ref,
         return 0
 
     def _store_step(i, node):
-        l = steps_ref[i, 0]
-        r = steps_ref[i, 1]
-        ls = steps_ref[i, 2]
-        rs = steps_ref[i, 3]
-        out_slot = steps_ref[i, 4]
+        l = steps_ref[0, i]
+        r = steps_ref[1, i]
+        ls = steps_ref[2, i]
+        rs = steps_ref[3, i]
+        out_slot = steps_ref[4, i]
         sl = stage(0, l, ls)
         sr = stage(1, r, rs)
         m = jax.lax.dot_general(
@@ -144,7 +144,7 @@ def _kernel_store_cs(steps_ref, tips_ref, pair_ref, out_ref, up_ref,
         return 0
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_slots), drain, 0)
-    root_slot = steps_ref[n_steps - 1, 4]
+    root_slot = steps_ref[4, n_steps - 1]
     out_ref[0, :] = sscale_ref[root_slot]
 
 
@@ -234,7 +234,7 @@ def _fused_upward_store_cs_local(steps, n_slots, trans, tipsP, *,
             jax.ShapeDtypeStruct((n_nodes, 8, P_pad), dtype),
         ],
         interpret=interpret,
-    )(steps, tipsP, pair)
+    )(steps.T, tipsP, pair)
     return up, usc8
 
 
@@ -302,14 +302,14 @@ def _kernel_newton_cs(steps_ref, mstk_ref, rootd_ref, wp_ref, invar_ref,
 
         @pl.when(i - 1 >= 0)
         def _prefetch():
-            fetch(jnp.int32(kn), steps_ref[i - 1, 0])
-            fetch(jnp.int32(kn + 1), steps_ref[i - 1, 1])
+            fetch(jnp.int32(kn), steps_ref[0, i - 1])
+            fetch(jnp.int32(kn + 1), steps_ref[1, i - 1])
 
-        l = steps_ref[i, 0]
-        r = steps_ref[i, 1]
-        ls = steps_ref[i, 2]
-        rs = steps_ref[i, 3]
-        out_slot = steps_ref[i, 4]
+        l = steps_ref[0, i]
+        r = steps_ref[1, i]
+        ls = steps_ref[2, i]
+        rs = steps_ref[3, i]
+        out_slot = steps_ref[4, i]
 
         def root_case(_):
             d = jnp.broadcast_to(rootd_ref[...], (CS, tile))
@@ -370,13 +370,13 @@ def _kernel_newton_cs(steps_ref, mstk_ref, rootd_ref, wp_ref, invar_ref,
                 dslots_ref[s] = dd
                 dscale_ref[s] = osc
 
-        @pl.when(steps_ref[i, 5] >= 0)  # skip packed-schedule padding
+        @pl.when(steps_ref[5, i] >= 0)  # skip packed-schedule padding
         def _real():
             side(l, ls, s_l, mk_l, mk_r[:CS], s_r)
             side(r, rs, s_r, mk_r, mk_l[:CS], s_l)
 
-    fetch(jnp.int32(0), steps_ref[n_steps - 1, 0])
-    fetch(jnp.int32(1), steps_ref[n_steps - 1, 1])
+    fetch(jnp.int32(0), steps_ref[0, n_steps - 1])
+    fetch(jnp.int32(1), steps_ref[1, n_steps - 1])
 
     def pair_steps(j2, _):
         i = n_steps - 1 - 2 * j2
@@ -528,7 +528,7 @@ def _fused_newton_derivs_local(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_nodes, 128), dtype),
         interpret=interpret,
-    )(steps, mstk, rootd, pattern_freq[None, :], ptn_invar[None, :],
+    )(steps.T, mstk, rootd, pattern_freq[None, :], ptn_invar[None, :],
       up, usc)
     return acc[:, 0], acc[:, 1]
 
@@ -594,14 +594,14 @@ def _kernel_down_store_cs(steps_ref, bd_ref, rootd_ref, up_hbm, usc_hbm,
 
         @pl.when(i - 1 >= 0)
         def _prefetch():
-            fetch(jnp.int32(kn), steps_ref[i - 1, 0])
-            fetch(jnp.int32(kn + 1), steps_ref[i - 1, 1])
+            fetch(jnp.int32(kn), steps_ref[0, i - 1])
+            fetch(jnp.int32(kn + 1), steps_ref[1, i - 1])
 
-        l = steps_ref[i, 0]
-        r = steps_ref[i, 1]
-        ls = steps_ref[i, 2]
-        rs = steps_ref[i, 3]
-        out_slot = steps_ref[i, 4]
+        l = steps_ref[0, i]
+        r = steps_ref[1, i]
+        ls = steps_ref[2, i]
+        rs = steps_ref[3, i]
+        out_slot = steps_ref[4, i]
 
         def root_case(_):
             d = jnp.broadcast_to(rootd_ref[...], (CS, tile))
@@ -653,13 +653,13 @@ def _kernel_down_store_cs(steps_ref, bd_ref, rootd_ref, up_hbm, usc_hbm,
                 dslots_ref[s] = dd
                 dscale_ref[s] = osc
 
-        @pl.when(steps_ref[i, 5] >= 0)  # skip packed-schedule padding
+        @pl.when(steps_ref[5, i] >= 0)  # skip packed-schedule padding
         def _real():
             side(k0, l, ls, m_r, s_r)
             side(k1, r, rs, m_l, s_l)
 
-    fetch(jnp.int32(0), steps_ref[n_steps - 1, 0])
-    fetch(jnp.int32(1), steps_ref[n_steps - 1, 1])
+    fetch(jnp.int32(0), steps_ref[0, n_steps - 1])
+    fetch(jnp.int32(1), steps_ref[1, n_steps - 1])
 
     def pair_steps(j2, _):
         i = n_steps - 1 - 2 * j2
@@ -746,7 +746,7 @@ def _fused_down_store_cs_local(
             jax.ShapeDtypeStruct((n_nodes, 8, P_pad), dtype),
         ],
         interpret=interpret,
-    )(steps, bd, rootd, up, usc)
+    )(steps.T, bd, rootd, up, usc)
     return out, osc8[:, 0, :]
 
 
@@ -854,14 +854,14 @@ def _kernel_tbar_cs(steps_ref, bd_ref, rootd_ref, lnl_ref, wp_ref,
 
         @pl.when(i - 1 >= 0)
         def _prefetch():
-            fetch(jnp.int32(kn), steps_ref[i - 1, 0])
-            fetch(jnp.int32(kn + 1), steps_ref[i - 1, 1])
+            fetch(jnp.int32(kn), steps_ref[0, i - 1])
+            fetch(jnp.int32(kn + 1), steps_ref[1, i - 1])
 
-        l = steps_ref[i, 0]
-        r = steps_ref[i, 1]
-        ls = steps_ref[i, 2]
-        rs = steps_ref[i, 3]
-        out_slot = steps_ref[i, 4]
+        l = steps_ref[0, i]
+        r = steps_ref[1, i]
+        ls = steps_ref[2, i]
+        rs = steps_ref[3, i]
+        out_slot = steps_ref[4, i]
 
         def root_case(_):
             d = jnp.broadcast_to(rootd_ref[...], (CS, tile))
@@ -912,13 +912,13 @@ def _kernel_tbar_cs(steps_ref, bd_ref, rootd_ref, lnl_ref, wp_ref,
                 dslots_ref[s] = dd
                 dscale_ref[s] = osc
 
-        @pl.when(steps_ref[i, 5] >= 0)  # skip packed-schedule padding
+        @pl.when(steps_ref[5, i] >= 0)  # skip packed-schedule padding
         def _real():
             side(l, ls, u_l, s_l, m_r, s_r)
             side(r, rs, u_r, s_r, m_l, s_l)
 
-    fetch(jnp.int32(0), steps_ref[n_steps - 1, 0])
-    fetch(jnp.int32(1), steps_ref[n_steps - 1, 1])
+    fetch(jnp.int32(0), steps_ref[0, n_steps - 1])
+    fetch(jnp.int32(1), steps_ref[1, n_steps - 1])
 
     def pair_steps(j2, _):
         i = n_steps - 1 - 2 * j2
@@ -1038,7 +1038,7 @@ def _fused_tbar_cs_local(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_nodes, CS, CS), dtype),
         interpret=interpret,
-    )(steps, bd, rootd, lnl_raw[None, :], w_p[None, :], up, usc)
+    )(steps.T, bd, rootd, lnl_raw[None, :], w_p[None, :], up, usc)
     # extract the per-category diagonal blocks -> [2N, C, S, S]
     out = jnp.stack(
         [tbar[:, c * S:(c + 1) * S, c * S:(c + 1) * S] for c in range(C)],

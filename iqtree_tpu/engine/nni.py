@@ -43,6 +43,12 @@ class NNIEval(NamedTuple):
     center_blen: jnp.ndarray  # [E, 2] optimized central branch length
     cur_lnl: jnp.ndarray  # scalar: current-tree lnL (same machinery)
     site_lnl: jnp.ndarray = None  # [E, 2, P] per-pattern lnl (optional)
+    # paired evaluation (f32 TPU): the SAME edge's identity (unswapped)
+    # configuration scored through the identical local machinery.  Deep
+    # f32 partial chains carry per-edge lnL biases of +-10..100 at 1000
+    # taxa on the MXU; the bias lives in the shared (U, O) messages and
+    # cancels in lnl - base_lnl, leaving the true topology effect.
+    base_lnl: jnp.ndarray = None  # [E]
 
 
 def _pmat(model: ModelArrays, t) -> jnp.ndarray:
@@ -182,6 +188,7 @@ def evaluate_nnis(
     steps: jnp.ndarray = None,
     n_slots: int = 0,
     edge_chunk: int = 0,
+    paired: bool = False,
 ) -> NNIEval:
     """Evaluate both NNIs on every given edge (vmapped).
 
@@ -284,9 +291,10 @@ def evaluate_nnis(
         c = tree.children[u, w_slot]
         # swap 0: exchange a<->c -> inside (c, b), outgoing a
         # swap 1: exchange b<->c -> inside (a, c), outgoing b
+        # swap 2 (paired baseline): identity -> inside (a, b), outgoing c
         p_node = jnp.where(swap == 0, c, a)
-        q_node = jnp.where(swap == 0, b, c)
-        r_node = jnp.where(swap == 0, a, b)
+        q_node = jnp.where(swap == 0, b, jnp.where(swap == 1, c, b))
+        r_node = jnp.where(swap == 0, a, jnp.where(swap == 1, b, c))
 
         U_p, sU_p = up[p_node], up_scale[p_node]
         U_q, sU_q = up[q_node], up_scale[q_node]
@@ -345,6 +353,8 @@ def evaluate_nnis(
     eval_v = jax.vmap(
         jax.vmap(eval_edge, in_axes=(None, 0)), in_axes=(0, None)
     )
+    n_sw = 3 if paired else 2
+    swaps = jnp.arange(n_sw)
     E = edges.shape[0]
     if edge_chunk and E > edge_chunk:
         # bound peak memory: the full vmap materializes per-candidate
@@ -357,21 +367,22 @@ def evaluate_nnis(
         epad = jnp.concatenate(
             [edges, jnp.broadcast_to(edges[:1], (E_pad - E,))])
         lnls, t_centers, site_lnls = jax.lax.map(
-            lambda chunk: eval_v(chunk, jnp.arange(2)),
+            lambda chunk: eval_v(chunk, swaps),
             epad.reshape(E_pad // B, B),
         )
-        lnls = lnls.reshape(E_pad, 2)[:E]
-        t_centers = t_centers.reshape(E_pad, 2)[:E]
+        lnls = lnls.reshape(E_pad, n_sw)[:E]
+        t_centers = t_centers.reshape(E_pad, n_sw)[:E]
         if site_lnls is not None:
             site_lnls = site_lnls.reshape(
-                (E_pad, 2) + site_lnls.shape[3:])[:E]
+                (E_pad, n_sw) + site_lnls.shape[3:])[:E]
     else:
-        lnls, t_centers, site_lnls = eval_v(edges, jnp.arange(2))
+        lnls, t_centers, site_lnls = eval_v(edges, swaps)
     return NNIEval(
-        lnl=lnls,
-        center_blen=t_centers,
+        lnl=lnls[:, :2],
+        center_blen=t_centers[:, :2],
         cur_lnl=cur_lnl,
-        site_lnl=site_lnls if want_site_lnl else None,
+        site_lnl=(site_lnls[:, :2] if want_site_lnl else None),
+        base_lnl=lnls[:, 2] if paired else None,
     )
 
 

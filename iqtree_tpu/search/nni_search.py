@@ -17,6 +17,8 @@ replaced by the batched evaluator (engine/nni.py):
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional, Tuple
 
@@ -98,10 +100,15 @@ class NNIEngine:
         b = int(2.0e8 / (2 * CS * P * 4 + 1))
         self._edge_chunk = 0 if b >= 4096 else max(16, 1 << max(
             b.bit_length() - 1, 0))
+        # paired (delta-vs-identity) scoring for f32 arrays: deep f32
+        # partial chains bias per-edge lnL estimates by far more than a
+        # marginal NNI's true gain at 1000 taxa; pairing each swap with
+        # the same edge's identity configuration cancels the shared bias
+        self._paired = jnp.dtype(dtype) == jnp.float32
         self._eval = jax.jit(
             lambda t, m, edges: evaluate_nnis(
                 t, m, self.site, edges, nni5=nni5,
-                edge_chunk=self._edge_chunk)
+                edge_chunk=self._edge_chunk, paired=self._paired)
         )
         if self.fused:
             from ..engine.kernels.pruning import fused_compute_loglik
@@ -110,7 +117,7 @@ class NNIEngine:
                 lambda t, m, edges, steps, n_slots: evaluate_nnis(
                     t, m, self.site, edges, nni5=nni5,
                     steps=steps, n_slots=n_slots,
-                    edge_chunk=self._edge_chunk),
+                    edge_chunk=self._edge_chunk, paired=self._paired),
                 static_argnames=("n_slots",),
             )
             self._brlen_fused = jax.jit(
@@ -163,14 +170,31 @@ class NNIEngine:
                 tree.n_taxa, self.model.ncat, self.model.num_states,
                 self.dtype)
         steps, n_slots = device_slot_schedule(tree, ta, pack=self._pack)
-        if n_slots > self._slots_cap:
-            self._slots_cap = n_slots + (8 if self._pack > 1 else 2)
-        if steps.shape[0] > self._rows_cap:
-            self._rows_cap = steps.shape[0] + (
-                8 * self._pack if self._pack > 1 else 0)
-        if self._pack > 1 and steps.shape[0] < self._rows_cap:
-            steps = pad_packed_rows(steps, self._pack, self._rows_cap)
-        return jnp.asarray(steps), self._slots_cap
+        # quantize shapes into buckets so each bucket compiles once:
+        # rows to multiples of 128 groups, slots to multiples of 16.
+        # Unbalanced topologies (parsimony stepwise trees can be near-
+        # caterpillar) inflate the packed schedule ~3x; a monotone cap
+        # would force EVERY later schedule to that size, tripling the
+        # common balanced case's group chain.
+        n_slots = -(-(n_slots + 1) // 16) * 16
+        if self._pack > 1:
+            bucket = 128 * self._pack
+            rows = -(-steps.shape[0] // bucket) * bucket
+            # degenerate (caterpillar-like) topologies can inflate the
+            # packed schedule until its VMEM-resident group matrices no
+            # longer fit the scoped budget; those trees fall back to the
+            # sequential pack-1 schedule (round-3 advisor fallback)
+            from ..engine.kernels.pruning import _pick_tile_cs
+
+            CS = self.model.ncat * self.model.num_states
+            if _pick_tile_cs(tree.n_taxa, rows, CS,
+                             self.model.num_states, n_slots, self.dtype,
+                             pack=self._pack, strict=True) == 0:
+                steps, n_slots = device_slot_schedule(tree, ta, pack=1)
+                n_slots = -(-(n_slots + 1) // 16) * 16
+            elif rows > steps.shape[0]:
+                steps = pad_packed_rows(steps, self._pack, rows)
+        return jnp.asarray(steps), n_slots
 
     def pattern_lnl(self, tree: PhyloTree):
         import numpy as _np
@@ -265,16 +289,31 @@ class NNIEngine:
                     ev = self._evaluate(tree, ta, edges_dev[pad])
                     lnls = np.asarray(ev.lnl)[: len(keep)]
                     centers = np.asarray(ev.center_blen)[: len(keep)]
+                    base = (np.asarray(ev.base_lnl)[: len(keep)]
+                            if ev.base_lnl is not None else None)
                 else:
                     ev = self._evaluate(tree, ta, edges_dev)
                     lnls = np.asarray(ev.lnl)
                     centers = np.asarray(ev.center_blen)
+                    base = (np.asarray(ev.base_lnl)
+                            if ev.base_lnl is not None else None)
             else:
                 ev = self._evaluate(tree, ta, edges_dev)
                 lnls = np.asarray(ev.lnl)
                 centers = np.asarray(ev.center_blen)
-            delta = lnls - cur
+                base = (np.asarray(ev.base_lnl)
+                        if ev.base_lnl is not None else None)
+            # paired deltas: swap lnl minus the SAME edge's identity-
+            # configuration lnl (f32 bias cancels); plain cur otherwise
+            delta = lnls - (base[:, None] if base is not None else cur)
             pos = np.argwhere(delta > LOGL_EPSILON)
+            if os.environ.get("IQTREE_TPU_SEARCH_DEBUG"):
+                import sys as _sys
+
+                _sys.stderr.write(
+                    f"    [climb] step {step}: cur={cur:.3f} "
+                    f"pos={len(pos)} max_delta="
+                    f"{float(delta.max()) if delta.size else 0:.3f}\n")
             if len(pos) == 0:
                 break
             order = pos[np.argsort(-delta[pos[:, 0], pos[:, 1]])]
@@ -289,7 +328,7 @@ class NNIEngine:
                 used.update((v, u))
                 chosen.append((k, int(s)))
             best_k, best_s = chosen[0]
-            best_est = lnls[best_k, best_s]
+            best_est = cur + delta[best_k, best_s]
 
             def apply_set(tr: PhyloTree, picks):
                 for k, s in picks:
