@@ -383,6 +383,18 @@ class Alignment:
             raise ValueError(f"sequences have unequal lengths: {lens}")
         if seq_type is None:
             seq_type = detect_seq_type(seqs)
+        if seq_type == SEQ_MORPH and num_states is None:
+            # infer the state count from the data like the reference
+            # (Alignment::buildPattern counts distinct morph states,
+            # alignment.cpp): highest used symbol + 1, at least binary
+            alphabet = "0123456789ABCDEFGHIJKLMNOPQRSTUV"
+            mx = 1
+            for s in seqs:
+                for ch in s:
+                    i = alphabet.find(ch.upper())
+                    if i > mx:
+                        mx = i
+            num_states = mx + 1
         states = StateSpace.make(seq_type, num_states, genetic_code)
         mat = np.stack([states.encode(s) for s in seqs])  # [taxa, sites]
         # pattern compression: unique columns with counts

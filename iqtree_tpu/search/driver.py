@@ -253,6 +253,24 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         ).splitlines():
             log(line)
 
+    # ---- ML-distance BIONJ refresh (computeMLDist,
+    # phyloanalysis.cpp:1827): pairwise ML distances under the DEFAULT
+    # model compress large distances badly (no fitted alpha/rates),
+    # which costs the BIONJ start tree thousands of lnL at 1000 taxa;
+    # recompute them with the OPTIMIZED model and keep the better tree.
+    if (params.start_tree is None and params.dist_file is None
+            and params.ssf is None
+            and not params.start_tree_mode.upper().startswith("PARS")):
+        log("Recomputing ML distances with the optimized model...")
+        dist = np.asarray(jax.jit(ml_distances)(model_arrays, site))
+        tree2 = bionj_tree(dist)
+        tree, lnl_a = engine.optimize_branches(tree, 30)
+        tree2, lnl_b = engine.optimize_branches(tree2, 30)
+        if lnl_b > lnl_a:
+            tree = tree2
+            log(f"ML-distance BIONJ tree is better "
+                f"({lnl_b:.4f} vs {lnl_a:.4f})")
+
     # ---- UFBoot setup -------------------------------------------------
     ufboot = None
     on_tree = None
@@ -272,7 +290,8 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     cand.update(res.tree, res.lnl)
     best_lnl = res.lnl
     best_tree = res.tree.copy()
-    log(f"BIONJ + NNI tree lnL: {res.lnl:.4f}")
+    log(f"BIONJ + NNI tree lnL: {res.lnl:.4f} "
+        f"[{time.time() - t_start:.0f}s]")
 
     n_taxa = aln.n_taxa
     n_perturb = max(1, int(params.pers * (n_taxa - 3)))
@@ -297,7 +316,8 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         improved = cand.update(r.tree, r.lnl)
         if r.lnl > best_lnl:
             best_lnl, best_tree = r.lnl, r.tree.copy()
-    log(f"Initial candidate set done, best lnL: {best_lnl:.4f}")
+    log(f"Initial candidate set done, best lnL: {best_lnl:.4f} "
+        f"[{time.time() - t_start:.0f}s]")
 
     # ---- stochastic search loop --------------------------------------
     stop = StopRule(

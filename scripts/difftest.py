@@ -70,10 +70,18 @@ CASES = [
     # round-4 matrix extension (VERDICT missing 4 / weak 4): the model
     # families the previous matrix never exercised
     ("prot_lg4x_te", "exact", "-s {prot} -m 'LG4X' -te {ptree}"),
-    ("dna_unrest_te", "exact", "-s {aln} -m UNREST -te {tree}"),
+    # NOTE: no UNREST case — the reference 1.4.3-beta cannot run -m
+    # UNREST at all: its SIMD branch kernel SIGABRTs (assert in
+    # computeLikelihoodBranchEigenSIMD; nonreversible eigen data feeds a
+    # reversible-only kernel) and -fastlk returns garbage (-5.4e6 lnL on
+    # example.phy).  Our UNREST path is validated against scipy expm in
+    # tests/test_nonrev.py instead.
     ("morph_mk_te", "exact", "-s {morph} -st MORPH -m MK+G -te {mtree}"),
-    # -m TEST: both sides must select the SAME best-fit model
-    ("dna_modeltest", "model", "-s {aln} -m TEST -te {tree}"),
+    # -m TEST: both sides must select the SAME best-fit model (-mset
+    # restricts the candidate list so the CPU-pinned run stays in the
+    # matrix's time budget; the selection logic exercised is identical)
+    ("dna_modeltest", "model",
+     "-s {aln} -m TEST -mset HKY,TN,GTR -te {tree}"),
     # edge-UNLINKED partition model (-sp; PhyloSuperTree)
     ("sp_unlinked_te", "exact", "-s {aln} -sp {nex} -te {sptree}"),
     # standard nonparametric bootstrap (-b): compare the original-
