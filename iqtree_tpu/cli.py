@@ -1164,6 +1164,7 @@ def _run_search(cfg, aln, model_str, dtype, log, ckp=None):
         stop_confidence=cfg.stop_confidence,
         dtype=dtype,
         nni5=cfg.nni5,
+        speednni=cfg.speednni and not cfg.allnni,
         start_tree_mode=cfg.start_tree_mode,
         start_tree=open(cfg.user_tree).read() if cfg.user_tree else None,
         dist_file=cfg.dist_file,

@@ -128,6 +128,8 @@ class RunConfig:
     min_rate_cats: int = 2  # -cmin (+R scan lower bound)
     max_rate_cats: int = 10  # -cmax (+R scan upper bound)
     nni5: bool = True  # -nni5/-fivebran vs -nni1/-onebran
+    allnni: bool = False  # -allnni: disable the speedNNI reduction
+    speednni: bool = False  # -speednni: opt into the reduced re-scan
     start_tree_mode: str = "BIONJ"  # -starttree BIONJ|PARS
     freq_const_patterns: Optional[str] = None  # -fconst f_A,f_C,...
     tree_burnin: int = 0  # -bi (skip first trees in -con/-net/-sup)
@@ -382,10 +384,13 @@ def parse_args(argv) -> RunConfig:
     p.add_argument("-nni1", "-onebran", dest="nni5", action="store_false",
                    help="re-optimize only the central branch per NNI")
     p.add_argument("-allnni", dest="allnni", action="store_true",
-                   help="evaluate NNIs on all branches (always on here: the "
-                        "TPU engine batch-evaluates every internal branch "
-                        "in one kernel, so the reference's speedNNI "
-                        "restriction would not save anything)")
+                   help="re-evaluate NNIs on ALL branches every hill-climb "
+                        "step (the default here; see -speednni)")
+    p.add_argument("-speednni", dest="speednni", action="store_true",
+                   help="opt into the reference's speedNNI reduction "
+                        "(tools.cpp:880): after the first full scan only "
+                        "branches near applied NNIs are re-evaluated, with "
+                        "a verifying full rescan before each stop")
     p.add_argument("-starttree", dest="starttree", default="BIONJ",
                    choices=["BIONJ", "PARS", "PLLPARS"],
                    help="starting tree: BIONJ (ML distances) or PARS "
@@ -589,6 +594,8 @@ def parse_args(argv) -> RunConfig:
         min_rate_cats=a.cmin,
         max_rate_cats=a.cmax,
         nni5=a.nni5,
+        allnni=a.allnni,
+        speednni=a.speednni,
         start_tree_mode=a.starttree,
         freq_const_patterns=a.fconst,
         tree_burnin=a.tree_burnin,

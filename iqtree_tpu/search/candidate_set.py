@@ -40,8 +40,22 @@ class CandidateSet:
                 return False
         return True
 
+    @staticmethod
+    def _topo_rank(key) -> str:
+        """Content-derived tiebreak for equal scores: checkpoint restore
+        rebuilds the dict in score order while a live run holds
+        insertion order, so an insertion-order tiebreak breaks
+        resume determinism (random_candidate would pick different
+        trees after a resume)."""
+        import hashlib
+
+        parts = sorted(tuple(sorted(s)) for s in key)
+        return hashlib.md5(repr(parts).encode()).hexdigest()
+
     def sorted_entries(self) -> List[Tuple[float, PhyloTree]]:
-        return sorted(self.entries.values(), key=lambda e: -e[0])
+        return [v for _, v in sorted(
+            self.entries.items(),
+            key=lambda kv: (-kv[1][0], self._topo_rank(kv[0])))]
 
     @property
     def best_score(self) -> float:

@@ -65,6 +65,13 @@ class SearchParams:
     model_eps: Optional[float] = None
     dtype: object = jnp.float64
     nni5: bool = True
+    # reference speedNNI reduction (-speednni): after a full first scan
+    # only branches near applied NNIs are re-evaluated.  Default OFF
+    # here (the reference defaults ON, tools.cpp:880): the batched
+    # evaluator scores every branch in one device program, so full
+    # re-scans cost little, and measured 1000-taxon searches show the
+    # reduction loses hundreds of lnL for <5% wall saving.
+    speednni: bool = False
     start_tree: Optional[str] = None  # newick string (-t/-te)
     start_tree_mode: str = "BIONJ"  # -starttree BIONJ|PARS
     dist_file: Optional[str] = None  # -d: user distances feed BIONJ
@@ -240,7 +247,7 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     )
     engine = NNIEngine(model_arrays, site, dtype=dtype, nni5=params.nni5,
                        ub_filter=params.ub_filter, ub_frac=params.ub_frac,
-                       mem_cap=params.mem_cap)
+                       mem_cap=params.mem_cap, speednni=params.speednni)
     if engine.decision is not None and params.ssf is None:
         # reference-style startup banner: which kernel path and why,
         # plus the pre-run memory estimate (pda.cpp:2252-2322,

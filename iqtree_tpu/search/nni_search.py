@@ -34,6 +34,34 @@ from ..trees.tree import PhyloTree
 LOGL_EPSILON = 0.001  # params.loglh_epsilon default (tools.cpp:743)
 
 
+def _nni_neighborhood(tree: PhyloTree, centers: List[int]) -> List[int]:
+    """Internal edges adjacent to the applied NNIs: the centers plus
+    their endpoints' other edges (an NNI changes the local likelihood
+    surface of all 5 surrounding branches, not just its center — wider
+    than the reference's getBranchesForNNI, which re-evaluates only the
+    centers, iqtree.cpp:2290)."""
+    N = tree.n_taxa
+    root = tree.root
+    out = set()
+
+    def add(v):
+        v = int(v)
+        if v >= N and 0 <= tree.parent[v] and tree.parent[v] != root \
+                and tree.parent[v] >= N:
+            out.add(v)
+
+    for v in centers:
+        add(v)
+        u = int(tree.parent[v])
+        add(u)
+        for c in tree.children[v]:
+            add(int(c))
+        if u >= N:
+            for c in tree.children[u]:
+                add(int(c))
+    return sorted(out)
+
+
 @dataclass
 class NNISearchResult:
     tree: PhyloTree
@@ -57,10 +85,14 @@ class NNIEngine:
     def __init__(self, model: ModelArrays, site: SiteData, dtype=jnp.float64,
                  nni5: bool = True, ub_filter: bool = False,
                  ub_frac: float = 0.0, fused: Optional[bool] = None,
-                 mem_cap: Optional[int] = None):
+                 mem_cap: Optional[int] = None, speednni: bool = False):
         self.model = model
         self.site = site
         self.dtype = dtype
+        # speedNNI (reference default, tools.cpp:880): after a climb
+        # step applies NNIs, only those branches are re-evaluated in the
+        # next step; -allnni restores full re-scans (deeper but slower)
+        self.speednni = bool(speednni)
         self.decision = None
         if fused is None:
             from ..engine.banner import decide_engine
@@ -247,12 +279,21 @@ class NNIEngine:
         tree, cur = self.optimize_branches(tree, 100)
         nni_count = 0
         steps = 0
+        # speednni (reference default, tools.cpp:880): after the first
+        # full scan, only the branches of APPLIED NNIs are re-evaluated
+        # (getBranchesForNNI, iqtree.cpp:2290); None = full scan
+        reduced: Optional[List[int]] = None
         for step in range(1, max_steps + 1):
             steps = step
             old = cur
             if on_tree is not None:
                 on_tree(tree, cur)
-            edges = tree.internal_edges()
+            if self.speednni and reduced is not None:
+                if not reduced:
+                    break
+                edges = np.asarray(sorted(reduced), dtype=np.int32)
+            else:
+                edges = tree.internal_edges()
             if frozen_splits:
                 from ..trees.splits import tree_splits
 
@@ -266,8 +307,17 @@ class NNIEngine:
             if len(edges) == 0:
                 break
             ta = self.arrays(tree)
+            n_real = len(edges)
+            if self.speednni and reduced is not None:
+                # pad reduced sets to power-of-two buckets so the jitted
+                # evaluator compiles once per bucket, not per step
+                bucket = 1 << max(n_real - 1, 1).bit_length()
+                if bucket > n_real:
+                    edges = np.concatenate(
+                        [edges, np.full(bucket - n_real, edges[0],
+                                        dtype=edges.dtype)])
             edges_dev = np.asarray(ta.h2d)[edges]
-            if self.ub_filter:
+            if self.ub_filter and reduced is None:
                 # two-phase: cheap batched UBs for all branches, full
                 # evaluation only for branches whose UB clears
                 # (1+frac)*curScore (phylotree.cpp:2891); the survivor
@@ -299,10 +349,11 @@ class NNIEngine:
                             if ev.base_lnl is not None else None)
             else:
                 ev = self._evaluate(tree, ta, edges_dev)
-                lnls = np.asarray(ev.lnl)
-                centers = np.asarray(ev.center_blen)
-                base = (np.asarray(ev.base_lnl)
+                lnls = np.asarray(ev.lnl)[:n_real]
+                centers = np.asarray(ev.center_blen)[:n_real]
+                base = (np.asarray(ev.base_lnl)[:n_real]
                         if ev.base_lnl is not None else None)
+                edges = edges[:n_real]
             # paired deltas: swap lnl minus the SAME edge's identity-
             # configuration lnl (f32 bias cancels); plain cur otherwise
             delta = lnls - (base[:, None] if base is not None else cur)
@@ -315,6 +366,12 @@ class NNIEngine:
                     f"pos={len(pos)} max_delta="
                     f"{float(delta.max()) if delta.size else 0:.3f}\n")
             if len(pos) == 0:
+                if reduced is not None:
+                    # reduced pass found nothing: verify convergence
+                    # with one full rescan before stopping (quality
+                    # guard the reference's speedNNI lacks)
+                    reduced = None
+                    continue
                 break
             order = pos[np.argsort(-delta[pos[:, 0], pos[:, 1]])]
             # non-conflicting: no shared endpoint nodes {v, parent(v)}
@@ -342,6 +399,8 @@ class NNIEngine:
             if new_lnl >= best_est - LOGL_EPSILON:
                 tree, cur = trial, new_lnl
                 nni_count += len(chosen)
+                reduced = _nni_neighborhood(tree, [
+                    int(edges[k]) for k, s in chosen])
             else:
                 # rollback: apply only the best NNI (iqtree.cpp:2246-2276)
                 trial = apply_set(tree.copy(), [chosen[0]])
@@ -349,9 +408,16 @@ class NNIEngine:
                 if new_lnl >= cur - LOGL_EPSILON:
                     tree, cur = trial, new_lnl
                     nni_count += 1
+                    reduced = _nni_neighborhood(
+                        tree, [int(edges[chosen[0][0]])])
                 else:
                     break
             if cur - old < 0.1:
+                if self.speednni and reduced is not None:
+                    # re-scan everything once before concluding the
+                    # climb is done
+                    reduced = None
+                    continue
                 break
         # final full branch optimization
         tree, cur = self.optimize_branches(tree, 100)

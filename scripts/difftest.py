@@ -342,7 +342,8 @@ def main():
         rows.append(res)
         if res["status"] != "PASS":
             failures += 1
-        fmt = lambda x: f"{x:.3f}" if isinstance(x, float) else (x or "-")
+        fmt = lambda x: (f"{x:.3f}" if isinstance(x, float)
+                         else "-" if x is None else x)
         detail = " ".join(
             f"{k}={fmt(v)}" for k, v in res.items()
             if k not in ("case", "mode", "status"))
