@@ -316,6 +316,9 @@ def main():
     ap.add_argument("--tol", type=float, default=0.05)
     ap.add_argument("--timeout", type=float, default=3600)
     ap.add_argument("--list", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="summary JSON path (default WORK/summary.json); "
+                         "lets parallel --only chunks record separately")
     a = ap.parse_args()
     if a.list:
         for name, mode, args in CASES:
@@ -332,7 +335,7 @@ def main():
     failures = 0
     rows = []
     for name, mode, args in CASES:
-        if a.only and a.only not in name:
+        if a.only and not any(s in name for s in a.only.split(",")):
             continue
         try:
             res = run_case(name, mode, args, a.ref, a.tol, a.timeout)
@@ -349,7 +352,7 @@ def main():
             if k not in ("case", "mode", "status"))
         print(f"{name:<22} {mode:<6} {res['status']:<10} {detail}",
               flush=True)
-    with open(os.path.join(WORK, "summary.json"), "w") as f:
+    with open(a.out or os.path.join(WORK, "summary.json"), "w") as f:
         json.dump(rows, f, indent=1)
     print(f"\n{len(rows) - failures}/{len(rows)} passed; "
           f"details under {WORK}/")
