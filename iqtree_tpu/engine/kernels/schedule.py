@@ -133,13 +133,26 @@ def packed_slot_schedule(tree: PhyloTree, pack: int) -> Tuple[np.ndarray, int]:
     root = tree.root
     emitted = np.zeros(2 * N - 1, dtype=bool)
     emitted[:N] = True
-    ready = set()
+    # ready nodes in 3 priority buckets by number of internal children
+    # (prefer freeing more slots); bucket queues replace a full sort of
+    # the ready set per group, which dominated the build at 1000 taxa
+    buckets = ([], [], [])
+    queued = np.zeros(2 * N - 1, dtype=bool)
+
+    def push_ready(v):
+        if queued[v]:
+            return False
+        queued[v] = True
+        prio = int(ch[v, 0] >= N) + int(ch[v, 1] >= N)
+        buckets[prio].append(v)
+        return True
+
+    n_ready = 0
     for v in range(N, 2 * N - 1):
         l, r = int(ch[v, 0]), int(ch[v, 1])
         if l < N and r < N and v != root:
-            ready.add(v)
-    if not ready and N == 2:
-        ready = set()
+            push_ready(v)
+            n_ready += 1
     slot_of = {}
     free: list = []
     next_slot = [0]
@@ -174,24 +187,26 @@ def packed_slot_schedule(tree: PhyloTree, pack: int) -> Tuple[np.ndarray, int]:
         # reverse kernels process rows of one group in arbitrary relative
         # order (strict cross-group ordering is the only guarantee)
         free.extend(freed)
+        nonlocal_added = 0
         for v, *_ in pk:
             p = int(parent[v])
             if p >= 2 * N - 1 or emitted[p] or p == root:
                 continue
             pl_, pr = int(ch[p, 0]), int(ch[p, 1])
             if (pl_ < N or emitted[pl_]) and (pr < N or emitted[pr]):
-                ready.add(p)
+                if push_ready(p):
+                    nonlocal_added += 1
+        return nonlocal_added
 
     steps: list = []
     pad_rows = 0
-    while ready:
-        batch = sorted(
-            ready,
-            key=lambda v: -int((ch[v, 0] >= N) + (ch[v, 1] >= N)),
-        )[:pack]
-        for v in batch:
-            ready.discard(v)
-        emit_batch(batch, steps)
+    while n_ready:
+        batch = []
+        for q in (buckets[2], buckets[1], buckets[0]):
+            while q and len(batch) < pack:
+                batch.append(q.pop())
+        n_ready -= len(batch)
+        n_ready += emit_batch(batch, steps)
         for _ in range(pack - len(batch)):
             steps.append(None)  # placeholder; trash slot known at the end
             pad_rows += 1

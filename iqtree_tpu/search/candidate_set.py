@@ -25,13 +25,17 @@ class CandidateSet:
     def update(self, tree: PhyloTree, score: float) -> bool:
         """Insert/refresh; returns True if the tree entered the top set as
         a new topology or improved score (candidateset.h update :109)."""
+        # store canonical encodings: checkpoint restore goes through a
+        # newick round trip, and perturbation determinism across resume
+        # requires the live and restored array encodings to be identical
+        # (PhyloTree.canonical)
         key = tree.splits_key()
         if key in self.entries:
             if score > self.entries[key][0]:
-                self.entries[key] = (score, tree.copy())
+                self.entries[key] = (score, tree.canonical())
                 return True
             return False
-        self.entries[key] = (score, tree.copy())
+        self.entries[key] = (score, tree.canonical())
         if len(self.entries) > self.max_size:
             worst = min(self.entries, key=lambda k: self.entries[k][0])
             removed_new = worst == key

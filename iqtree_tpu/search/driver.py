@@ -178,8 +178,18 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     mparams = opt.init_params()
 
     # ---- initial tree -------------------------------------------------
+    # resume gates (phase flags like finishedModelInit/finishedCandidateSet,
+    # phyloanalysis.cpp:1757-1876): skip completed phases instead of
+    # re-running them and overwriting afterwards (they cost minutes at
+    # 1000 taxa and would consume rng draws that the restored rng state
+    # then has to paper over)
+    ckp = params.checkpoint
+    resumed_init = ckp is not None and ckp.has("search.mparams")
+    resumed_search = ckp is not None and ckp.has("search.best_tree")
     dist = None
-    if params.start_tree:
+    if resumed_init:
+        tree = None  # restored below at the model-init gate
+    elif params.start_tree:
         tree = PhyloTree.from_newick(params.start_tree, aln.names, rng=rng)
         log("Using user start tree")
     elif params.dist_file:
@@ -223,8 +233,7 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
 
     # ---- model initialization on the start tree ----------------------
     # (phase-gated like finishedModelInit, phyloanalysis.cpp:1757)
-    ckp = params.checkpoint
-    if ckp is not None and ckp.has("search.mparams"):
+    if resumed_init:
         mparams = _mparams_restore(ckp.get("search.mparams"), mparams)
         tree = PhyloTree.from_newick(ckp.get("search.init_tree"), aln.names)
         log("Restored model parameters + start tree from checkpoint")
@@ -237,8 +246,13 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         tree.blen = ta.host_blen()
         log(f"Start tree lnL: {lnl:.4f}")
         if ckp is not None:
+            # precision=17: %.17g round-trips f64 exactly, so a resumed
+            # run restarts from bit-identical branch lengths (a 10-digit
+            # round trip makes hill-climb trajectories diverge and
+            # breaks -bb resume determinism)
             ckp.put("search.mparams", _mparams_dump(mparams))
-            ckp.put("search.init_tree", tree.to_newick(aln.names))
+            ckp.put("search.init_tree",
+                    tree.to_newick(aln.names, precision=17))
             ckp.dump(force=True)
 
     model_arrays = (
@@ -265,7 +279,8 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     # model compress large distances badly (no fitted alpha/rates),
     # which costs the BIONJ start tree thousands of lnL at 1000 taxa;
     # recompute them with the OPTIMIZED model and keep the better tree.
-    if (params.start_tree is None and params.dist_file is None
+    if (not resumed_search
+            and params.start_tree is None and params.dist_file is None
             and params.ssf is None
             and not params.start_tree_mode.upper().startswith("PARS")):
         log("Recomputing ML distances with the optimized model...")
@@ -292,39 +307,43 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
             ufboot.save_tree(t, engine.pattern_lnl(t))
 
     # ---- initial candidate set ---------------------------------------
-    cand = CandidateSet(max_size=params.max_candidates, pop_size=params.pop_size)
-    res = engine.hill_climb(tree, on_tree=on_tree)
-    cand.update(res.tree, res.lnl)
-    best_lnl = res.lnl
-    best_tree = res.tree.copy()
-    log(f"BIONJ + NNI tree lnL: {res.lnl:.4f} "
-        f"[{time.time() - t_start:.0f}s]")
-
     n_taxa = aln.n_taxa
     n_perturb = max(1, int(params.pers * (n_taxa - 3)))
-    init_variants: List[PhyloTree] = []
-    for i in range(params.n_init_trees - 1):
-        if i % 2 == 0:
-            t = best_tree.copy()
-            random_nni_perturb(t, n_perturb, rng)
-        else:
-            # randomized stepwise-addition parsimony trees, like the
-            # reference's nParTrees in initCandidateTreeSet (iqtree.cpp:695)
-            t = parsimony_stepwise_tree(aln, rng)
-        init_variants.append(t)
-    # quick-score variants by branch-length optimization only
-    scored = []
-    for t in init_variants:
-        t, l = engine.optimize_branches(t, 20)
-        scored.append((l, t))
-    scored.sort(key=lambda e: -e[0])
-    for l, t in scored[: params.n_top_init]:
-        r = engine.hill_climb(t, on_tree=on_tree)
-        improved = cand.update(r.tree, r.lnl)
-        if r.lnl > best_lnl:
-            best_lnl, best_tree = r.lnl, r.tree.copy()
-    log(f"Initial candidate set done, best lnL: {best_lnl:.4f} "
-        f"[{time.time() - t_start:.0f}s]")
+    cand = CandidateSet(max_size=params.max_candidates, pop_size=params.pop_size)
+    best_lnl = -np.inf
+    best_tree = None
+    if not resumed_search:
+        res = engine.hill_climb(tree, on_tree=on_tree)
+        cand.update(res.tree, res.lnl)
+        best_lnl = res.lnl
+        best_tree = res.tree.canonical()
+        log(f"BIONJ + NNI tree lnL: {res.lnl:.4f} "
+            f"[{time.time() - t_start:.0f}s]")
+
+        init_variants: List[PhyloTree] = []
+        for i in range(params.n_init_trees - 1):
+            if i % 2 == 0:
+                t = best_tree.copy()
+                random_nni_perturb(t, n_perturb, rng)
+            else:
+                # randomized stepwise-addition parsimony trees, like the
+                # reference's nParTrees in initCandidateTreeSet
+                # (iqtree.cpp:695)
+                t = parsimony_stepwise_tree(aln, rng)
+            init_variants.append(t)
+        # quick-score variants by branch-length optimization only
+        scored = []
+        for t in init_variants:
+            t, l = engine.optimize_branches(t, 20)
+            scored.append((l, t))
+        scored.sort(key=lambda e: -e[0])
+        for l, t in scored[: params.n_top_init]:
+            r = engine.hill_climb(t, on_tree=on_tree)
+            improved = cand.update(r.tree, r.lnl)
+            if r.lnl > best_lnl:
+                best_lnl, best_tree = r.lnl, r.tree.canonical()
+        log(f"Initial candidate set done, best lnL: {best_lnl:.4f} "
+            f"[{time.time() - t_start:.0f}s]")
 
     # ---- stochastic search loop --------------------------------------
     stop = StopRule(
@@ -353,7 +372,7 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         return not stop.should_stop()
 
     # ---- checkpoint resume (phase gates like phyloanalysis.cpp:1757) --
-    if ckp is not None and ckp.has("search.best_tree"):
+    if resumed_search:
         from ..trees.tree import PhyloTree as _PT
 
         log("Resuming search from checkpoint...")
@@ -377,10 +396,12 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         if ckp is None:
             return
         ckp.put("search.best_lnl", best_lnl)
-        ckp.put("search.best_tree", best_tree.to_newick(aln.names))
+        ckp.put("search.best_tree",
+                best_tree.to_newick(aln.names, precision=17))
         ckp.put(
             "search.candidates",
-            [(t.to_newick(aln.names), s) for s, t in cand.sorted_entries()],
+            [(t.to_newick(aln.names, precision=17), s)
+             for s, t in cand.sorted_entries()],
         )
         ckp.put("search.stoprule", stop.state())
         ckp.put("search.rng_state", rng.bit_generator.state)
@@ -398,7 +419,7 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         improved = r.lnl > best_lnl + 1e-6
         cand.update(r.tree, r.lnl)
         if improved:
-            best_lnl, best_tree = r.lnl, r.tree.copy()
+            best_lnl, best_tree = r.lnl, r.tree.canonical()
             log(
                 f"BETTER TREE FOUND at iteration {stop.cur_iteration + 1}: "
                 f"{best_lnl:.4f}"
@@ -436,6 +457,9 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         ckp.put("search.final_mparams", _mparams_dump(mparams))
         ckp.dump(force=True)
     log(f"BEST SCORE FOUND: {best_lnl:.4f}")
+    if engine.profile:
+        for line in engine.profile_summary().splitlines():
+            log(line)
     return SearchResult(
         best_tree=best_tree,
         best_lnl=best_lnl,

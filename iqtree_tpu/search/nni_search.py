@@ -18,6 +18,8 @@ replaced by the batched evaluator (engine/nni.py):
 from __future__ import annotations
 
 import os
+import time
+from collections import Counter
 
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional, Tuple
@@ -89,6 +91,12 @@ class NNIEngine:
         self.model = model
         self.site = site
         self.dtype = dtype
+        # IQTREE_TPU_SEARCH_PROFILE=1: cumulative wall time per search
+        # phase (host schedule builds vs device eval/brlen programs),
+        # printed by profile_summary() — the round-4 verdict's missing
+        # NNI-iteration attribution
+        self.profile = bool(os.environ.get("IQTREE_TPU_SEARCH_PROFILE"))
+        self.prof = Counter()
         # speedNNI (reference default, tools.cpp:880): after a climb
         # step applies NNIs, only those branches are re-evaluated in the
         # next step; -allnni restores full re-scans (deeper but slower)
@@ -114,6 +122,11 @@ class NNIEngine:
         self._pack = None
         self._rows_cap = 0
         self._slots_cap = 0
+        # schedule memo keyed by topology (children bytes): a climb step
+        # builds the same topology's schedule 2-4x (eval + branch opt +
+        # rollback), and the stochastic loop revisits candidates; at
+        # 1000 taxa each build costs ~35 ms of host time
+        self._sched_cache: dict = {}
         # -upNNI: skip NNI evaluation for branches whose likelihood upper
         # bound is hopeless (phylotree.cpp:2884 hook, upperbounds.cpp)
         self.ub_filter = ub_filter
@@ -201,7 +214,17 @@ class NNIEngine:
             self._pack = fitting_pack(
                 tree.n_taxa, self.model.ncat, self.model.num_states,
                 self.dtype)
+        key = tree.children.tobytes()
+        hit = self._sched_cache.get(key)
+        if hit is not None:
+            if self.profile:
+                self.prof["schedule_hit_n"] += 1
+            return hit
+        t0 = time.perf_counter() if self.profile else 0.0
         steps, n_slots = device_slot_schedule(tree, ta, pack=self._pack)
+        if self.profile:
+            self.prof["schedule_s"] += time.perf_counter() - t0
+            self.prof["schedule_n"] += 1
         # quantize shapes into buckets so each bucket compiles once:
         # rows to multiples of 128 groups, slots to multiples of 16.
         # Unbalanced topologies (parsimony stepwise trees can be near-
@@ -226,7 +249,11 @@ class NNIEngine:
                 n_slots = -(-(n_slots + 1) // 16) * 16
             elif rows > steps.shape[0]:
                 steps = pad_packed_rows(steps, self._pack, rows)
-        return jnp.asarray(steps), n_slots
+        out = (jnp.asarray(steps), n_slots)
+        if len(self._sched_cache) >= 512:
+            self._sched_cache.clear()
+        self._sched_cache[key] = out
+        return out
 
     def pattern_lnl(self, tree: PhyloTree):
         import numpy as _np
@@ -245,21 +272,46 @@ class NNIEngine:
         self, tree: PhyloTree, n_sweeps: int = 100
     ) -> Tuple[PhyloTree, float]:
         ta = self.arrays(tree)
+        t0 = time.perf_counter() if self.profile else 0.0
         if self.fused:
             steps, n_slots = self._schedule(tree, ta)
+            t0 = time.perf_counter() if self.profile else 0.0
             ta, lnl = self._brlen_fused(ta, self.model, n_sweeps, steps,
                                         n_slots)
         else:
             ta, lnl = self._brlen(ta, self.model, n_sweeps)
+        if self.profile:
+            jax.block_until_ready(lnl)
+            self.prof[f"brlen{n_sweeps}_s"] += time.perf_counter() - t0
+            self.prof[f"brlen{n_sweeps}_n"] += 1
         tree.blen = ta.host_blen()
         return tree, float(lnl)
 
     def _evaluate(self, tree: PhyloTree, ta: TreeArrays, edges_dev):
         if self.fused:
             steps, n_slots = self._schedule(tree, ta)
-            return self._eval_fused(ta, self.model, jnp.asarray(edges_dev),
-                                    steps, n_slots)
-        return self._eval(ta, self.model, jnp.asarray(edges_dev))
+            t0 = time.perf_counter() if self.profile else 0.0
+            out = self._eval_fused(ta, self.model, jnp.asarray(edges_dev),
+                                   steps, n_slots)
+        else:
+            t0 = time.perf_counter() if self.profile else 0.0
+            out = self._eval(ta, self.model, jnp.asarray(edges_dev))
+        if self.profile:
+            jax.block_until_ready(out.lnl)
+            self.prof["nni_eval_s"] += time.perf_counter() - t0
+            self.prof["nni_eval_n"] += 1
+        return out
+
+    def profile_summary(self) -> str:
+        tot = sum(v for k, v in self.prof.items() if k.endswith("_s"))
+        lines = [f"search device/host profile (total attributed {tot:.1f}s):"]
+        for k in sorted(self.prof):
+            if k.endswith("_s"):
+                n = self.prof.get(k[:-2] + "_n", 0)
+                lines.append(
+                    f"  {k[:-2]:>12s}: {self.prof[k]:8.2f}s  x{n}"
+                    f"  ({self.prof[k] / max(n, 1) * 1000:7.1f} ms/call)")
+        return "\n".join(lines)
 
     def hill_climb(
         self,

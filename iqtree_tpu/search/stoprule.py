@@ -108,8 +108,6 @@ class StopRule:
         self.predicted_iteration = pred
 
     def should_stop(self) -> bool:
-        if self.fixed_iterations is not None:
-            return self.cur_iteration >= self.fixed_iterations
         if self.max_seconds is not None:
             # wall clocks diverge between hosts in a multi-host run: the
             # decision must be global or the SPMD programs desynchronize
@@ -121,6 +119,8 @@ class StopRule:
             hit = (time.time() - self.start_time) >= self.max_seconds
             if sync_global_flag(hit):
                 return True
+        if self.fixed_iterations is not None:
+            return self.cur_iteration >= self.fixed_iterations
         if self.cur_iteration >= self.max_iterations:
             return True
         if self.weibull:

@@ -127,7 +127,8 @@ class UFBoot:
             "boot_logl": self.boot_logl.tolist(),
             "boot_counts": self.boot_counts.tolist(),
             "boot_tree_id": self.boot_tree_id.tolist(),
-            "trees": [t.to_newick(names) for t in self._trees],
+            "trees": [t.to_newick(names, precision=17)
+                      for t in self._trees],
             "ckp_freqs": (
                 [[sorted(k), v] for k, v in self._checkpoint_freqs.items()]
                 if self._checkpoint_freqs is not None else None

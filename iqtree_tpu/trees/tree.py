@@ -130,6 +130,21 @@ class PhyloTree:
                 stack.append((int(self.children[v, 1]), False))
         return np.asarray(order, dtype=np.int32)
 
+    def canonical(self) -> "PhyloTree":
+        """Deterministic renumbering via a newick round trip: trees equal
+        as (topology, branch lengths) get bit-identical array encodings.
+
+        `apply_nni`/`internal_edges` depend on node numbering and child
+        order, so a checkpoint save/restore (which serializes trees as
+        newick) must preserve the encoding exactly or rng-driven NNI
+        perturbation diverges after resume.  Canonicalizing at the
+        storage points (candidate set, best tree) makes the live and the
+        restored encodings identical.  Idempotent; numbering depends
+        only on structure, not taxon names (%.17g round-trips f64)."""
+        names = [str(i) for i in range(self.n_taxa)]
+        return PhyloTree.from_newick(
+            self.to_newick(names, precision=17), names)
+
     def internal_edges(self) -> np.ndarray:
         """Nodes v whose parent edge is an internal (NNI-able) edge."""
         N = self.n_taxa
