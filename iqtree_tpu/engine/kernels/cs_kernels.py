@@ -466,6 +466,36 @@ def fused_newton_derivs(
     )
 
 
+def _pick_tile_newton(n_nodes, CS, n_slots, P_pad, dtype, floor_tile,
+                      budget=None):
+    """Largest pattern tile for the REVERSE sweeps (Newton/tbar): their
+    VMEM residents are the stacked derivative matrices + slot scratch
+    only (no pair matrices, no double-buffered tips), so the tile can
+    exceed the store kernel's.  Must divide P_pad (the store's padded
+    pattern count)."""
+    from .pruning import default_vmem_budget
+
+    if budget is None:
+        budget = default_vmem_budget()
+    itemsize = jnp.dtype(dtype).itemsize
+    mstk = n_nodes * 3 * CS * CS * itemsize
+    out = n_nodes * 128 * itemsize
+    fudge = 4 * 2**20
+    # P_pad itself first: ONE grid pass traverses the sequential step
+    # chain once instead of P_pad/tile times — the sweep is per-step
+    # latency-bound, so grid count is nearly a straight multiplier
+    for tile in (P_pad, 4096, 2048, 1024, 512, 256, 128):
+        if tile < floor_tile or P_pad % tile:
+            continue
+        # slots + dscale + staging (up to 4 double-buffered stage pairs
+        # in the down-store variant) — slightly conservative superset of
+        # every reverse sweep's scratch list
+        scr = ((n_slots + 10) * (CS + 1) + 16) * tile * itemsize
+        if mstk + out + scr + fudge <= budget:
+            return tile
+    return floor_tile
+
+
 def _fused_newton_derivs_local(
     steps, n_slots, model, tree_blen, tipsP, pattern_freq, ptn_invar, *,
     tile=None, interpret=None,
@@ -487,6 +517,12 @@ def _fused_newton_derivs_local(
     up, usc8 = _fused_upward_store_cs_local(steps, n_slots, trans, tipsP,
                                             tile=tile, interpret=interpret)
     P_pad = up.shape[-1]
+    # the reverse sweep holds neither the pair matrices nor the tips
+    # block in VMEM, so its tile can be much larger than the store's —
+    # fewer grid iterations of the same sequential step chain directly
+    # cuts its latency-bound wall time (81 -> ~30 ms at 1000 taxa)
+    tile = _pick_tile_newton(trans.shape[0], CS, n_slots, P_pad,
+                             tipsP.dtype, tile)
     if P_pad != P:
         tipsP = jnp.pad(tipsP, ((0, 0), (0, 0), (0, P_pad - P)),
                         constant_values=1.0)
@@ -816,9 +852,13 @@ def _fused_nni_passes_cs_local(
                         constant_values=1.0)
     usc = usc8[:, :1, :]
     up, usc = _fill_tip_rows_cs(up, usc, tipsP, n_taxa, C)
+    # the downward sweep holds no pair matrices/tips, so a bigger tile
+    # (ideally one full grid pass) serves it — see _pick_tile_newton
+    tile_dn = _pick_tile_newton(trans.shape[0], CS, n_slots, P_pad,
+                                trans.dtype, tile)
     out, osc = _fused_down_store_cs_local(
         steps, n_slots, trans, up, usc, props, state_freq,
-        tile=tile, interpret=interpret,
+        tile=tile_dn, interpret=interpret,
     )
     return up, usc[:, 0, :], out, osc
 
@@ -1004,6 +1044,9 @@ def _fused_tbar_cs_local(
         lnl_raw = jnp.pad(lnl_raw, (0, P_pad - P))
         w_p = jnp.pad(w_p, (0, P_pad - P))
     up, usc = _fill_tip_rows_cs(up, usc, tipsP, n_taxa, C)
+    # reverse sweep: bigger tile, ideally one grid pass (latency-bound)
+    tile = _pick_tile_newton(trans.shape[0], CS, n_slots, P_pad,
+                             trans.dtype, tile)
 
     bd = block_diag_cs(trans)
     rootd = (props[:, None] * state_freq).reshape(CS, 1)

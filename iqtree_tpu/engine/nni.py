@@ -182,7 +182,11 @@ def evaluate_nnis(
     site: SiteData,
     edges: jnp.ndarray,  # [E] int32 DEVICE node ids with internal parent edge
     nni5: bool = True,
-    local_rounds: int = 2,
+    # ONE round over the 5 local branches matches the reference
+    # (getBestNNIForBran optimizes each branch once per swap,
+    # phylotree.cpp:2990-3013); round 4 used 2 rounds — ~1.7x the eval
+    # cost for no measurable lnL gain at 1000 taxa
+    local_rounds: int = 1,
     final_newton: int = 2,
     want_site_lnl: bool = False,
     steps: jnp.ndarray = None,

@@ -140,9 +140,15 @@ def random_nni_perturb(tree: PhyloTree, n_moves: int, rng: np.random.Generator):
         tree.apply_nni(v, int(rng.integers(2)))
 
 
-def _optimize_mb(opt, ta, site, params=None, rounds=10, tol=0.1):
+def _optimize_mb(opt, ta, site, params=None, rounds=10, tol=0.1,
+                 steps=None, n_slots=0):
     """Dispatch model+branch optimization on optimizer type (SSF
-    models use forward-mode L-BFGS + the per-pattern-basis Newton)."""
+    models use forward-mode L-BFGS + the per-pattern-basis Newton).
+
+    (steps, n_slots): slot schedule routing the branch sweeps through
+    the fused Pallas kernels — before round 5 the search's model-opt
+    phases always ran the XLA mailbox path, ~25x slower at 1000 taxa
+    than the engine the rest of the search uses."""
     from ..models.sitefreq import SSFOptimizer, optimize_ssf_model_and_branches
 
     if isinstance(opt, SSFOptimizer):
@@ -151,7 +157,8 @@ def _optimize_mb(opt, ta, site, params=None, rounds=10, tol=0.1):
         )
         return ta, p, lnl
     return optimize_model_and_branches(
-        opt, ta, site, params=params, rounds=rounds, tol=tol
+        opt, ta, site, params=params, rounds=rounds, tol=tol,
+        steps=steps, n_slots=n_slots,
     )
 
 
@@ -231,34 +238,15 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         random_nni_perturb(t, n_perturb, rng)
         return t
 
-    # ---- model initialization on the start tree ----------------------
-    # (phase-gated like finishedModelInit, phyloanalysis.cpp:1757)
-    if resumed_init:
-        mparams = _mparams_restore(ckp.get("search.mparams"), mparams)
-        tree = PhyloTree.from_newick(ckp.get("search.init_tree"), aln.names)
-        log("Restored model parameters + start tree from checkpoint")
-    else:
-        log("Optimizing model parameters on the start tree...")
-        ta = TreeArrays.from_tree(tree, dtype)
-        ta, mparams, lnl = _optimize_mb(
-            opt, ta, site, params=mparams, rounds=10, tol=0.1
-        )
-        tree.blen = ta.host_blen()
-        log(f"Start tree lnL: {lnl:.4f}")
-        if ckp is not None:
-            # precision=17: %.17g round-trips f64 exactly, so a resumed
-            # run restarts from bit-identical branch lengths (a 10-digit
-            # round trip makes hill-climb trajectories diverge and
-            # breaks -bb resume determinism)
-            ckp.put("search.mparams", _mparams_dump(mparams))
-            ckp.put("search.init_tree",
-                    tree.to_newick(aln.names, precision=17))
-            ckp.dump(force=True)
+    # ---- engine (built BEFORE model init: the model-opt phases route
+    # their branch sweeps through the engine's fused schedules; the
+    # model itself is passed as an argument to the jitted programs, so
+    # the same engine serves every parameter update) ---------------------
+    def build_arrays(p):
+        return (jax.jit(opt.build_ssf)(p) if params.ssf is not None
+                else jax.jit(opt.build)(p))
 
-    model_arrays = (
-        jax.jit(opt.build_ssf)(mparams) if params.ssf is not None
-        else jax.jit(opt.build)(mparams)
-    )
+    model_arrays = build_arrays(mparams)
     engine = NNIEngine(model_arrays, site, dtype=dtype, nni5=params.nni5,
                        ub_filter=params.ub_filter, ub_frac=params.ub_frac,
                        mem_cap=params.mem_cap, speednni=params.speednni)
@@ -274,6 +262,40 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         ).splitlines():
             log(line)
 
+    def fit_model(tree_obj, ta, rounds, tol):
+        """Model+branch optimization on the fused engine when available."""
+        if engine.fused:
+            steps, n_slots = engine._schedule(tree_obj, ta)
+            return _optimize_mb(opt, ta, site, params=mparams,
+                                rounds=rounds, tol=tol,
+                                steps=steps, n_slots=n_slots)
+        return _optimize_mb(opt, ta, site, params=mparams,
+                            rounds=rounds, tol=tol)
+
+    # ---- model initialization on the start tree ----------------------
+    # (phase-gated like finishedModelInit, phyloanalysis.cpp:1757)
+    if resumed_init:
+        mparams = _mparams_restore(ckp.get("search.mparams"), mparams)
+        tree = PhyloTree.from_newick(ckp.get("search.init_tree"), aln.names)
+        log("Restored model parameters + start tree from checkpoint")
+        engine.model = model_arrays = build_arrays(mparams)
+    else:
+        log("Optimizing model parameters on the start tree...")
+        ta = TreeArrays.from_tree(tree, dtype)
+        ta, mparams, lnl = fit_model(tree, ta, rounds=10, tol=0.1)
+        tree.blen = ta.host_blen()
+        log(f"Start tree lnL: {lnl:.4f}")
+        engine.model = model_arrays = build_arrays(mparams)
+        if ckp is not None:
+            # precision=17: %.17g round-trips f64 exactly, so a resumed
+            # run restarts from bit-identical branch lengths (a 10-digit
+            # round trip makes hill-climb trajectories diverge and
+            # breaks -bb resume determinism)
+            ckp.put("search.mparams", _mparams_dump(mparams))
+            ckp.put("search.init_tree",
+                    tree.to_newick(aln.names, precision=17))
+            ckp.dump(force=True)
+
     # ---- ML-distance BIONJ refresh (computeMLDist,
     # phyloanalysis.cpp:1827): pairwise ML distances under the DEFAULT
     # model compress large distances badly (no fitted alpha/rates),
@@ -286,8 +308,8 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         log("Recomputing ML distances with the optimized model...")
         dist = np.asarray(jax.jit(ml_distances)(model_arrays, site))
         tree2 = bionj_tree(dist)
-        tree, lnl_a = engine.optimize_branches(tree, 30)
-        tree2, lnl_b = engine.optimize_branches(tree2, 30)
+        tree, lnl_a = engine.optimize_branches(tree, 30, tol=0.05)
+        tree2, lnl_b = engine.optimize_branches(tree2, 30, tol=0.05)
         if lnl_b > lnl_a:
             tree = tree2
             log(f"ML-distance BIONJ tree is better "
@@ -312,12 +334,31 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     cand = CandidateSet(max_size=params.max_candidates, pop_size=params.pop_size)
     best_lnl = -np.inf
     best_tree = None
+
+    def reopt_model(tree_obj, lnl_now, tol):
+        """Model-parameter refresh on an improved tree (the reference
+        re-estimates the model EVERY time a better tree is found,
+        iqtree.cpp:2013-2016 and :751-753; searching with parameters
+        fitted to the distant start tree costs hundreds of lnL at 1000
+        taxa).  Returns the refreshed lnl; updates engine.model."""
+        nonlocal mparams, model_arrays
+        ta2 = TreeArrays.from_tree(tree_obj, dtype)
+        ta2, mparams, lnl2 = fit_model(tree_obj, ta2, rounds=4, tol=tol)
+        engine.model = model_arrays = build_arrays(mparams)
+        if float(lnl2) > lnl_now:
+            tree_obj.blen = ta2.host_blen()
+            return float(lnl2)
+        return lnl_now
+
     if not resumed_search:
         res = engine.hill_climb(tree, on_tree=on_tree)
-        cand.update(res.tree, res.lnl)
-        best_lnl = res.lnl
+        # model refresh on the climbed tree (initCandidateTreeSet
+        # re-estimates at modeps*10 on improvement, iqtree.cpp:751-753)
+        lnl0 = reopt_model(res.tree, res.lnl, tol=0.1)
+        cand.update(res.tree, lnl0)
+        best_lnl = lnl0
         best_tree = res.tree.canonical()
-        log(f"BIONJ + NNI tree lnL: {res.lnl:.4f} "
+        log(f"BIONJ + NNI tree lnL: {best_lnl:.4f} "
             f"[{time.time() - t_start:.0f}s]")
 
         init_variants: List[PhyloTree] = []
@@ -331,10 +372,13 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
                 # (iqtree.cpp:695)
                 t = parsimony_stepwise_tree(aln, rng)
             init_variants.append(t)
-        # quick-score variants by branch-length optimization only
+        # quick-score variants by branch-length optimization only (the
+        # reference scores init trees with optimizeBranches(2),
+        # iqtree.cpp:672; our variants start from default lengths, so a
+        # few more sweeps with a loose tolerance)
         scored = []
         for t in init_variants:
-            t, l = engine.optimize_branches(t, 20)
+            t, l = engine.optimize_branches(t, 8, tol=0.1)
             scored.append((l, t))
         scored.sort(key=lambda e: -e[0])
         for l, t in scored[: params.n_top_init]:
@@ -405,6 +449,9 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         )
         ckp.put("search.stoprule", stop.state())
         ckp.put("search.rng_state", rng.bit_generator.state)
+        # model params refresh on improvements (reopt_model) — a resumed
+        # run must restore the CURRENT parameters, not the start-tree fit
+        ckp.put("search.mparams", _mparams_dump(mparams))
         if ufboot is not None:
             ckp.put("search.ufboot", ufboot.state(aln.names))
         ckp.dump(force=False)
@@ -417,9 +464,14 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         )
         r = engine.hill_climb(t, on_tree=on_tree, frozen_splits=frozen)
         improved = r.lnl > best_lnl + 1e-6
-        cand.update(r.tree, r.lnl)
+        r_lnl = r.lnl
         if improved:
-            best_lnl, best_tree = r.lnl, r.tree.canonical()
+            # model refresh on every improvement (doTreeSearch,
+            # iqtree.cpp:2013-2016: "if snni: optimizeModelParameters")
+            r_lnl = reopt_model(r.tree, r.lnl, tol=0.01)
+        cand.update(r.tree, r_lnl)
+        if improved:
+            best_lnl, best_tree = r_lnl, r.tree.canonical()
             log(
                 f"BETTER TREE FOUND at iteration {stop.cur_iteration + 1}: "
                 f"{best_lnl:.4f}"
@@ -435,8 +487,8 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
     # ---- final model optimization on the best tree -------------------
     log("Final model parameter optimization...")
     ta = TreeArrays.from_tree(best_tree, dtype)
-    ta, mparams, best_lnl = _optimize_mb(
-        opt, ta, site, params=mparams, rounds=15,
+    ta, mparams, best_lnl = fit_model(
+        best_tree, ta, rounds=15,
         tol=params.model_eps if params.model_eps else 0.001,
     )
     best_tree.blen = ta.host_blen()

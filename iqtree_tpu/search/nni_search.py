@@ -34,6 +34,7 @@ from ..engine.nni import evaluate_nnis
 from ..trees.tree import PhyloTree
 
 LOGL_EPSILON = 0.001  # params.loglh_epsilon default (tools.cpp:743)
+SPEEDNNI_BUCKET = 256  # fixed pad size for speednni reduced edge sets
 
 
 def _nni_neighborhood(tree: PhyloTree, centers: List[int]) -> List[int]:
@@ -166,9 +167,9 @@ class NNIEngine:
                 static_argnames=("n_slots",),
             )
             self._brlen_fused = jax.jit(
-                lambda t, m, n, steps, n_slots: optimize_all_branches(
+                lambda t, m, n, steps, n_slots, tol: optimize_all_branches(
                     t, m, self.site, n_sweeps=n, steps=steps,
-                    n_slots=n_slots),
+                    n_slots=n_slots, tol=tol),
                 static_argnames=("n", "n_slots"),
             )
             self._patlnl_fused = jax.jit(
@@ -184,8 +185,8 @@ class NNIEngine:
             )
 
             self._brlen = jax.jit(
-                lambda t, m, n: ssf_optimize_all_branches(
-                    t, m, self.site, n_sweeps=n),
+                lambda t, m, n, tol: ssf_optimize_all_branches(
+                    t, m, self.site, n_sweeps=n, tol=tol),
                 static_argnames=("n",),
             )
             self._patlnl = jax.jit(
@@ -195,8 +196,8 @@ class NNIEngine:
             from ..engine.likelihood import compute_loglik
 
             self._brlen = jax.jit(
-                lambda t, m, n: optimize_all_branches(
-                    t, m, self.site, n_sweeps=n),
+                lambda t, m, n, tol: optimize_all_branches(
+                    t, m, self.site, n_sweeps=n, tol=tol),
                 static_argnames=("n",),
             )
             self._patlnl = jax.jit(
@@ -269,17 +270,22 @@ class NNIEngine:
         return TreeArrays.from_tree(tree, self.dtype)
 
     def optimize_branches(
-        self, tree: PhyloTree, n_sweeps: int = 100
+        self, tree: PhyloTree, n_sweeps: int = 100, tol: float = 1e-5
     ) -> Tuple[PhyloTree, float]:
+        """tol: stop sweeping when a sweep improves lnL by less.  The
+        default 1e-5 is tighter than f32 site-lnl resolution at |lnL| ~
+        1e6, which made every capped call run ALL its sweeps; interior
+        search calls pass a looser tolerance (the reference sweeps once
+        per climb step at loglh_epsilon=0.001, iqtree.cpp:2215)."""
         ta = self.arrays(tree)
         t0 = time.perf_counter() if self.profile else 0.0
         if self.fused:
             steps, n_slots = self._schedule(tree, ta)
             t0 = time.perf_counter() if self.profile else 0.0
             ta, lnl = self._brlen_fused(ta, self.model, n_sweeps, steps,
-                                        n_slots)
+                                        n_slots, tol)
         else:
-            ta, lnl = self._brlen(ta, self.model, n_sweeps)
+            ta, lnl = self._brlen(ta, self.model, n_sweeps, tol)
         if self.profile:
             jax.block_until_ready(lnl)
             self.prof[f"brlen{n_sweeps}_s"] += time.perf_counter() - t0
@@ -328,7 +334,12 @@ class NNIEngine:
         iqtree.cpp:2155)."""
         n_taxa = tree.n_taxa
         max_steps = max_steps or n_taxa
-        tree, cur = self.optimize_branches(tree, 100)
+        # a few sweeps to settle the perturbed branch lengths and get a
+        # comparable `cur` (the reference starts optimizeNNI from the
+        # perturbed tree with NO branch pre-optimization at all,
+        # iqtree.cpp:2103-2125; per-candidate local re-opt plus the
+        # per-step joint sweep below recover the lengths)
+        tree, cur = self.optimize_branches(tree, 5, tol=0.05)
         nni_count = 0
         steps = 0
         # speednni (reference default, tools.cpp:880): after the first
@@ -340,12 +351,21 @@ class NNIEngine:
             old = cur
             if on_tree is not None:
                 on_tree(tree, cur)
+            all_edges = tree.internal_edges()
             if self.speednni and reduced is not None:
                 if not reduced:
                     break
-                edges = np.asarray(sorted(reduced), dtype=np.int32)
+                # one FIXED bucket: a reduced set that fits pads to
+                # SPEEDNNI_BUCKET (a single extra jit variant vs one per
+                # power of two — each evaluator compile costs ~45 s at
+                # 1000 taxa); oversized sets just rescan everything
+                if (len(reduced) <= SPEEDNNI_BUCKET
+                        and len(all_edges) > SPEEDNNI_BUCKET):
+                    edges = np.asarray(sorted(reduced), dtype=np.int32)
+                else:
+                    edges = all_edges
             else:
-                edges = tree.internal_edges()
+                edges = all_edges
             if frozen_splits:
                 from ..trees.splits import tree_splits
 
@@ -360,10 +380,9 @@ class NNIEngine:
                 break
             ta = self.arrays(tree)
             n_real = len(edges)
-            if self.speednni and reduced is not None:
-                # pad reduced sets to power-of-two buckets so the jitted
-                # evaluator compiles once per bucket, not per step
-                bucket = 1 << max(n_real - 1, 1).bit_length()
+            if (self.speednni and reduced is not None
+                    and n_real < len(all_edges)):
+                bucket = SPEEDNNI_BUCKET
                 if bucket > n_real:
                     edges = np.concatenate(
                         [edges, np.full(bucket - n_real, edges[0],
@@ -447,7 +466,7 @@ class NNIEngine:
                 return tr
 
             trial = apply_set(tree.copy(), chosen)
-            trial, new_lnl = self.optimize_branches(trial, 2)
+            trial, new_lnl = self.optimize_branches(trial, 2, tol=0.05)
             if new_lnl >= best_est - LOGL_EPSILON:
                 tree, cur = trial, new_lnl
                 nni_count += len(chosen)
@@ -456,7 +475,7 @@ class NNIEngine:
             else:
                 # rollback: apply only the best NNI (iqtree.cpp:2246-2276)
                 trial = apply_set(tree.copy(), [chosen[0]])
-                trial, new_lnl = self.optimize_branches(trial, 2)
+                trial, new_lnl = self.optimize_branches(trial, 2, tol=0.05)
                 if new_lnl >= cur - LOGL_EPSILON:
                     tree, cur = trial, new_lnl
                     nni_count += 1
@@ -471,6 +490,6 @@ class NNIEngine:
                     reduced = None
                     continue
                 break
-        # final full branch optimization
-        tree, cur = self.optimize_branches(tree, 100)
+        # final full branch optimization (loglh_epsilon-grade tolerance)
+        tree, cur = self.optimize_branches(tree, 100, tol=0.01)
         return NNISearchResult(tree=tree, lnl=cur, nni_count=nni_count, steps=steps)

@@ -118,26 +118,33 @@ def prepare_inputs():
     from iqtree_tpu.io.alignment import read_alignment
     from iqtree_tpu.trees.tree import random_tree
 
+    def write_atomic(path, text):
+        # parallel --only chunks share WORK/gen: write to a per-pid temp
+        # file and rename into place so concurrent preparers never see a
+        # half-written input (os.rename is atomic within a filesystem)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
     if not os.path.exists(SUBS["ctree"]):
         aln = read_alignment(SUBS["codon"], seq_type="CODON")
         t = random_tree(aln.n_taxa, np.random.default_rng(3))
-        with open(SUBS["ctree"], "w") as f:
-            f.write(t.to_newick(aln.names) + "\n")
+        write_atomic(SUBS["ctree"], t.to_newick(aln.names) + "\n")
     if not os.path.exists(SUBS["ssf"]):
         aln = read_alignment(SUBS["aln"])
         rng = np.random.default_rng(4)
-        with open(SUBS["ssf"], "w") as f:
-            for s in range(aln.n_sites):
-                fr = rng.dirichlet([8.0, 8.0, 8.0, 8.0])
-                f.write(f"{s + 1} " + " ".join(f"{x:.6f}" for x in fr)
-                        + "\n")
+        lines = []
+        for s in range(aln.n_sites):
+            fr = rng.dirichlet([8.0, 8.0, 8.0, 8.0])
+            lines.append(f"{s + 1} " + " ".join(f"{x:.6f}" for x in fr))
+        write_atomic(SUBS["ssf"], "\n".join(lines) + "\n")
     if not os.path.exists(SUBS["ztrees"]):
         aln = read_alignment(SUBS["aln"])
         rng = np.random.default_rng(5)
-        with open(SUBS["ztrees"], "w") as f:
-            for _ in range(4):
-                t = random_tree(aln.n_taxa, rng)
-                f.write(t.to_newick(aln.names) + "\n")
+        write_atomic(SUBS["ztrees"], "".join(
+            random_tree(aln.n_taxa, rng).to_newick(aln.names) + "\n"
+            for _ in range(4)))
     if not os.path.exists(SUBS["morph"]):
         # simulated MK (k=6) morphology matrix + fixed tree
         from iqtree_tpu.models.rates import RateModel
@@ -334,8 +341,9 @@ def main():
     prepare_inputs()
     failures = 0
     rows = []
+    only_toks = [s for s in (a.only or "").split(",") if s]
     for name, mode, args in CASES:
-        if a.only and not any(s in name for s in a.only.split(",")):
+        if only_toks and not any(s in name for s in only_toks):
             continue
         try:
             res = run_case(name, mode, args, a.ref, a.tol, a.timeout)

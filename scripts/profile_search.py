@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--init", type=int, default=4)
     ap.add_argument("--top", type=int, default=2)
+    ap.add_argument("--speednni", action="store_true")
+    ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--trace", default=os.environ.get("IQTREE_TPU_PROFILE"))
     a = ap.parse_args()
 
@@ -53,8 +55,8 @@ def main():
 
     t0 = time.time()
     sp = SearchParams(
-        model="GTR+G", seed=1, n_init_trees=a.init, n_top_init=a.top,
-        fixed_iterations=a.iters, dtype=jnp.float32,
+        model="GTR+G", seed=a.seed, n_init_trees=a.init, n_top_init=a.top,
+        fixed_iterations=a.iters, dtype=jnp.float32, speednni=a.speednni,
         log=lambda m: sys.stderr.write(f"[{time.time()-t0:7.1f}s] {m}\n"))
     if a.trace:
         jax.profiler.start_trace(a.trace)

@@ -136,8 +136,12 @@ def test_fused_evaluate_nnis_matches(seqtype, model):
                          n_slots=n_slots)
     np.testing.assert_allclose(float(ev_f.cur_lnl), float(ev_x.cur_lnl),
                                rtol=1e-6)
+    # engine-parity bound, not optimality: the two engines feed the
+    # same local machinery f32 messages with different rounding, and
+    # one local round (the reference's effort) smooths less than the
+    # old two, so the per-candidate scores agree to ~0.1 lnL
     np.testing.assert_allclose(np.asarray(ev_f.lnl), np.asarray(ev_x.lnl),
-                               rtol=1e-6, atol=1e-2)
+                               rtol=1e-6, atol=0.1)
     np.testing.assert_allclose(
         np.asarray(ev_f.center_blen), np.asarray(ev_x.center_blen),
         rtol=1e-4, atol=1e-6)
