@@ -267,15 +267,30 @@ def main(argv: Optional[List[str]] = None) -> int:
     if cfg.model_test:
         from .search.model_select import run_model_selection
 
-        best, table = run_model_selection(
-            aln, dtype=dtype, log=log,
-            criterion=cfg.model_test_criterion,
-            model_set=cfg.model_set, model_subset=cfg.model_subset,
-            freq_set=cfg.freq_set,
-            rate_scan=cfg.model_test_rate_scan,
-            min_rate_cats=cfg.min_rate_cats,
-            max_rate_cats=cfg.max_rate_cats,
-        )
+        # model-selection result is cached in the checkpoint; -mredo
+        # forces a rerun (reference model_test_again, tools.cpp:1789,
+        # CheckpointFactory caching in phylotesting.cpp testModel)
+        cached = ckp.get("modeltest.best") if ckp is not None else None
+        if cached and not cfg.model_test_redo and not cfg.redo:
+            best = cached
+            table = ckp.get("modeltest.table", "")
+            log(f"CHECKPOINT: best-fit model {best} restored "
+                "(-mredo to re-test)")
+        else:
+            best, table = run_model_selection(
+                aln, dtype=dtype, log=log,
+                criterion=cfg.model_test_criterion,
+                model_set=cfg.model_set, model_subset=cfg.model_subset,
+                freq_set=cfg.freq_set,
+                extra_models=cfg.model_add,
+                rate_scan=cfg.model_test_rate_scan,
+                min_rate_cats=cfg.min_rate_cats,
+                max_rate_cats=cfg.max_rate_cats,
+            )
+            if ckp is not None:
+                ckp.put("modeltest.best", best)
+                ckp.put("modeltest.table", table)
+                ckp.dump(force=True)
         log(f"Best-fit model: {best} chosen according to "
             f"{cfg.model_test_criterion}")
         model_str = best
@@ -504,15 +519,22 @@ def main(argv: Optional[List[str]] = None) -> int:
     if ufboot is not None:
         support = ufboot.supports_for(tree)
         if cfg.write_boot_trees:
+            from .utils.gzout import out_name
+
             ufboot.write_ufboot(prefix + ".ufboot", aln.names,
-                                with_lengths=cfg.write_boot_tree_blens)
-            log(f"  UFBoot trees:                  {prefix}.ufboot")
+                                with_lengths=cfg.write_boot_tree_blens,
+                                compress=cfg.compress_output)
+            log(f"  UFBoot trees:                  "
+                f"{out_name(prefix + '.ufboot', cfg.compress_output)}")
         ufboot.write_splits_nex(prefix + ".splits.nex", aln.names)
         contree = ufboot.consensus()
         with open(prefix + ".contree", "w") as f:
+            # -wbl: print branch lengths in the consensus tree
+            # (params.print_branch_lengths, tools.cpp:2111)
             f.write(
                 contree.to_newick(
-                    aln.names, support=ufboot.supports_for(contree)
+                    aln.names, support=ufboot.supports_for(contree),
+                    with_lengths=cfg.print_branch_lengths,
                 )
                 + "\n"
             )
@@ -586,7 +608,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                 n_mix=n_mix, n_rate=n_rate,
             )
         else:
-            write_site_lnl(prefix + ".sitelh", aln, pattern_lnl)
+            write_site_lnl(prefix + ".sitelh", aln, pattern_lnl,
+                           compress=cfg.compress_output)
     if cfg.write_site_rates:
         import jax
 
@@ -1176,14 +1199,36 @@ def _run_search(cfg, aln, model_str, dtype, log, ckp=None):
         verbose=cfg.verbose,
         checkpoint=ckp,
     )
+    visited = []
+    if cfg.write_intermediate_level >= 2:
+        # -wt2/-wt3: record every intermediate tree the climbs visit
+        # (reference write_intermediate_trees=2/3 + print_tree_lh,
+        # tools.cpp:2099-2110)
+        sp.on_visit = lambda t, lnl: visited.append(
+            (t.to_newick(aln.names), float(lnl)))
     res = run_search(aln, sp)
-    if cfg.write_local_trees:
+    from .utils.gzout import open_out, out_name
+
+    gz = cfg.compress_output
+    if cfg.write_intermediate_level >= 2:
+        with open_out(cfg.out_prefix + ".treels", gz) as f:
+            for nwk, _ in visited:
+                f.write(nwk + "\n")
+        with open_out(cfg.out_prefix + ".treelh", gz) as f:
+            for _, lnl in visited:
+                f.write(f"{lnl:.6f}\n")
+        log(f"  Intermediate trees:            "
+            f"{out_name(cfg.out_prefix + '.treels', gz)}")
+        log(f"  Intermediate tree lnLs:        "
+            f"{out_name(cfg.out_prefix + '.treelh', gz)}")
+    elif cfg.write_local_trees:
         # -wt: all locally optimal (candidate) trees -> .treels
         # (reference print_tree_lh/.treels, tools.cpp '-wt')
-        with open(cfg.out_prefix + ".treels", "w") as f:
+        with open_out(cfg.out_prefix + ".treels", gz) as f:
             for s, t in res.candidates.sorted_entries():
                 f.write(t.to_newick(aln.names) + "\n")
-        log(f"  Locally optimal trees:         {cfg.out_prefix}.treels")
+        log(f"  Locally optimal trees:         "
+            f"{out_name(cfg.out_prefix + '.treels', gz)}")
     site = SiteData.from_alignment(aln, dtype, asc=res.subst.asc)
     ma = jax.jit(res.model_opt.build)(res.params_vec)
     ta = TreeArrays.from_tree(res.best_tree, dtype)

@@ -34,6 +34,13 @@ class RunConfig:
     verbose: int = 0  # -v[v] verbosity ladder (VB_MED/VB_MAX, tools.h:323)
     write_boot_trees: bool = False  # -wbt (.ufboot only when asked, like ref)
     write_local_trees: bool = False  # -wt (.treels: all locally optimal trees)
+    # -wt2/-wt3: write every VISITED intermediate tree (+ .treelh tree
+    # log-likelihoods), reference write_intermediate_trees levels
+    write_intermediate_level: int = 0
+    print_branch_lengths: bool = False  # -wbl (lengths in consensus trees)
+    compress_output: bool = False  # -gz (gzip large output files)
+    model_test_redo: bool = False  # -mredo (ignore cached model selection)
+    model_add: Optional[str] = None  # -madd extra models for -m TEST
     ckp_interval: float = 30.0  # -cptime seconds between checkpoint dumps
     min_correlation: float = 0.99  # -bcor UFBoot convergence correlation
     step_iterations: int = 100  # -nstep UFBoot correlation check interval
@@ -213,6 +220,20 @@ def parse_args(argv) -> RunConfig:
                    help="write UFBoot trees to .ufboot")
     p.add_argument("-wt", dest="wt", action="store_true",
                    help="write all locally optimal trees to .treels")
+    p.add_argument("-wt2", dest="wt2", action="store_true",
+                   help="write all intermediate trees to .treels + .treelh")
+    p.add_argument("-wt3", dest="wt3", action="store_true",
+                   help="write all intermediate trees incl. NNI steps")
+    p.add_argument("-wbl", dest="wbl", action="store_true",
+                   help="print branch lengths in consensus trees")
+    p.add_argument("-gz", dest="gz", action="store_true",
+                   help="gzip-compress large output files "
+                        "(.treels/.sitelh/.ufboot/.boottrees)")
+    p.add_argument("-mredo", dest="mredo", action="store_true",
+                   help="redo model selection even if a cached result "
+                        "exists in the checkpoint")
+    p.add_argument("-madd", dest="madd", default=None,
+                   help="comma-separated extra models for -m TEST")
     p.add_argument("-cptime", dest="cptime", type=float, default=30.0,
                    help="min seconds between periodic checkpoint dumps")
     p.add_argument("-bcor", dest="bcor", type=float, default=0.99,
@@ -495,7 +516,12 @@ def parse_args(argv) -> RunConfig:
         outgroup=a.outgroup,
         verbose=a.verbose,
         write_boot_trees=a.wbt or a.wbtl,
-        write_local_trees=a.wt,
+        write_local_trees=a.wt or a.wt2 or a.wt3,
+        write_intermediate_level=3 if a.wt3 else (2 if a.wt2 else 0),
+        print_branch_lengths=a.wbl,
+        compress_output=a.gz,
+        model_test_redo=a.mredo,
+        model_add=a.madd,
         ckp_interval=a.cptime,
         min_correlation=a.bcor,
         step_iterations=a.nstep,

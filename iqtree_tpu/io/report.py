@@ -215,11 +215,14 @@ def _freq_desc(subst):
     }.get(subst.freq_type, subst.freq_type)
 
 
-def write_site_lnl(path: str, aln, pattern_lnl: np.ndarray):
+def write_site_lnl(path: str, aln, pattern_lnl: np.ndarray,
+                   compress: bool = False):
     """.sitelh file (reference -wsl format: one header line, then
-    'Site_Lh' + per-site values)."""
+    'Site_Lh' + per-site values); compress=True gzips (-gz)."""
+    from ..utils.gzout import open_out
+
     site_lnl = pattern_lnl[aln.site_to_pattern]
-    with open(path, "w") as f:
+    with open_out(path, compress) as f:
         f.write(f"# Site log-likelihoods\n1 {aln.n_sites}\n")
         f.write("Site_Lh   " + " ".join(f"{x:.5f}" for x in site_lnl) + "\n")
 

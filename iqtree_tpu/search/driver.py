@@ -95,6 +95,9 @@ class SearchParams:
     # resampled alignment has the same patterns with new weights, so the
     # same compiled programs serve every replicate)
     pattern_freq: Optional[np.ndarray] = None
+    # -wt2/-wt3: called with every intermediate (tree, lnl) the climbs
+    # visit (reference write_intermediate_trees, printIntermediateTree)
+    on_visit: object = None
 
 
 @dataclass
@@ -327,6 +330,11 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
 
         def on_tree(t, lnl):
             ufboot.save_tree(t, engine.pattern_lnl(t))
+            if params.on_visit is not None:
+                params.on_visit(t, lnl)
+
+    if on_tree is None and params.on_visit is not None:
+        on_tree = params.on_visit
 
     # ---- initial candidate set ---------------------------------------
     n_taxa = aln.n_taxa

@@ -101,20 +101,33 @@ def _mset_list(model_set, named_sets, known, kind):
     return names
 
 
-def candidate_models(seq_type, model_set=None, model_subset=None):
-    """Resolve -mset/-msub into the candidate model-name list
-    (getModelList dispatch, phylotesting.cpp:929-1010)."""
+def candidate_models(seq_type, model_set=None, model_subset=None,
+                     extra=None):
+    """Resolve -mset/-msub/-madd into the candidate model-name list
+    (getModelList dispatch, phylotesting.cpp:929-1010; -madd appends
+    params.model_extra_set, tools.cpp:1754)."""
+    def with_extra(base, known, kind):
+        if not extra:
+            return list(base)
+        names = [t.strip().upper() for t in extra.split(",") if t.strip()]
+        bad = [n for n in names if n not in known]
+        if bad:
+            raise ValueError(
+                f"-madd: unknown {kind} model(s): {', '.join(bad)}")
+        return list(base) + [n for n in names if n not in base]
+
     if seq_type == SEQ_DNA:
         if model_subset:
             # the reference only defines -msub compartments for protein
             raise ValueError("-msub is only valid for protein data")
+        from ..models.dna import DNA_MODELS
+
         base = DNA_TEST_MODELS
         if model_set:
-            from ..models.dna import DNA_MODELS
-
             base = _mset_list(model_set, DNA_MODEL_SETS,
                               set(DNA_MODELS) | set(DNA_TEST_MODELS), "DNA")
-        return list(base)
+        return with_extra(base, set(DNA_MODELS) | set(DNA_TEST_MODELS),
+                          "DNA")
     base = AA_TEST_MODELS
     if model_set:
         base = _mset_list(model_set, AA_MODEL_SETS, set(AA_TEST_MODELS)
@@ -124,7 +137,7 @@ def candidate_models(seq_type, model_set=None, model_subset=None):
         if allowed is None:
             raise ValueError(f"unknown -msub source: {model_subset}")
         base = [m for m in base if m in allowed]
-    return list(base)
+    return with_extra(base, set(AA_TEST_MODELS) | {"POISSON"}, "protein")
 
 
 def information_scores(lnl, df, ssize):
@@ -423,6 +436,7 @@ def run_model_selection(
     model_set: Optional[str] = None,
     model_subset: Optional[str] = None,
     freq_set: Optional[str] = None,
+    extra_models: Optional[str] = None,
     rate_scan: bool = False,
     min_rate_cats: int = 2,
     max_rate_cats: int = 10,
@@ -506,12 +520,13 @@ def run_model_selection(
         log(f"Testing rate class '{rc or 'uniform'}'...")
         if st == SEQ_DNA:
             fit_out, ndims, display = _fit_class_dna(
-                candidate_models(st, model_set), aln, site, ta, dtype,
-                has_gamma, has_invar, max_pinv,
+                candidate_models(st, model_set, extra=extra_models),
+                aln, site, ta, dtype, has_gamma, has_invar, max_pinv,
             )
             handle_class(fit_out, ndims, display, rc, has_gamma, has_invar)
         elif st == SEQ_PROTEIN:
-            names = candidate_models(st, model_set, model_subset)
+            names = candidate_models(st, model_set, model_subset,
+                                     extra=extra_models)
             for plus_f in plus_f_opts:
                 fit_out, ndims, display = _fit_class_protein(
                     names, aln, site, ta, dtype, has_gamma,

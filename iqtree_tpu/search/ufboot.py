@@ -159,10 +159,13 @@ class UFBoot:
         tree, _ = consensus_tree(self.split_counter())
         return tree
 
-    def write_ufboot(self, path: str, names, with_lengths=False) -> None:
+    def write_ufboot(self, path: str, names, with_lengths=False,
+                     compress=False) -> None:
         """-wbt (topologies only) / -wbtl (with branch lengths,
-        tools.cpp:2411)."""
-        with open(path, "w") as f:
+        tools.cpp:2411); compress=True gzips (-gz)."""
+        from ..utils.gzout import open_out
+
+        with open_out(path, compress) as f:
             for tid in self.boot_tree_id:
                 if tid >= 0:
                     f.write(self._trees[int(tid)].to_newick(

@@ -162,3 +162,46 @@ def test_mwopt_forces_free_weights():
         assert not subst.fix_weights
     finally:
         mixture.FORCE_OPT_WEIGHTS = False
+
+
+def test_flag_tail_wt2_wbl_gz_madd(tmp_path):
+    """-wt2/-wt3/-wbl/-gz/-mredo/-madd parse into RunConfig (reference
+    tools.cpp:2095-2111, :2501, :1754, :1789)."""
+    from iqtree_tpu.config import parse_args
+
+    cfg = parse_args(["-s", "x.phy", "-wt2", "-wbl", "-gz", "-mredo",
+                      "-madd", "GTR,TIM"])
+    assert cfg.write_intermediate_level == 2
+    assert cfg.write_local_trees
+    assert cfg.print_branch_lengths
+    assert cfg.compress_output
+    assert cfg.model_test_redo
+    assert cfg.model_add == "GTR,TIM"
+    cfg3 = parse_args(["-s", "x.phy", "-wt3"])
+    assert cfg3.write_intermediate_level == 3
+
+
+def test_gzout_roundtrip(tmp_path):
+    from iqtree_tpu.utils.gzout import open_in, open_out, out_name
+
+    p = str(tmp_path / "f.treels")
+    with open_out(p, compress=True) as f:
+        f.write("(a,b);\n")
+    assert out_name(p, True).endswith(".gz")
+    with open_in(p + ".gz") as f:
+        assert f.read() == "(a,b);\n"
+    with open_out(p, compress=False) as f:
+        f.write("plain\n")
+    with open_in(p) as f:
+        assert f.read() == "plain\n"
+
+
+def test_madd_extends_candidates():
+    from iqtree_tpu.search.model_select import candidate_models
+
+    assert candidate_models("DNA", "HKY", extra="GTR,TIM") == \
+        ["HKY", "GTR", "TIM"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        candidate_models("DNA", "HKY", extra="BOGUS")
