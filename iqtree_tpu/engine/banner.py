@@ -104,9 +104,12 @@ def decide_engine(
             f"{cap/2**30:.1f} GB budget; falling back to the mailbox "
             "engine (pass -mem to raise the cap)")
 
+    from .kernels.cs_kernels import newton_kernel_serves
+
     cs = _cs_packable(C, S)
     pack = fitting_pack(n_taxa, C, S, dtype) if cs else 1
-    newton = fused and cs and not has_asc and not is_nonrev
+    newton = (fused and newton_kernel_serves(C, S) and not has_asc
+              and not is_nonrev)
     return EngineDecision(fused=fused, cs_packed=fused and cs, pack=pack,
                           newton_kernel=newton, reason=reason,
                           store_bytes=store, hbm_cap=cap)

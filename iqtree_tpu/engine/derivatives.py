@@ -407,8 +407,10 @@ def optimize_all_branches(
 
     # the fused Newton-derivative kernel serves packable shapes without
     # +ASC (ASC adds per-branch correction terms the kernel doesn't
-    # carry; unobserved-pattern workloads fall back to the theta path)
-    from .kernels.pruning import _cs_packable
+    # carry; unobserved-pattern workloads fall back to the theta path);
+    # round 5 extended it past DNA: protein runs the wide-CS streaming
+    # reverse sweep (newton_kernel_serves, cs_kernels.py)
+    from .kernels.cs_kernels import newton_kernel_serves
 
     try:
         has_asc = bool(np.any(np.asarray(site.asc_mask)))
@@ -418,7 +420,7 @@ def optimize_all_branches(
         steps is not None
         and model.qmat is None
         and not has_asc
-        and _cs_packable(model.ncat, model.num_states)
+        and newton_kernel_serves(model.ncat, model.num_states)
     )
 
     if steps is not None:

@@ -244,10 +244,15 @@ def _fused_upward_store_cs_local(steps, n_slots, trans, tipsP, *,
 
 def _make_fetch(up_hbm, usc_hbm, ustage_ref, sstage_ref, usems, ssems,
                 i_tile, tile):
+    # ustage may carry zero-padded tail rows beyond the stored CS (the
+    # wide-CS streaming sweep pads the lane-contraction axis to 128);
+    # the DMA writes only the stored rows
+    CSu = up_hbm.shape[1]
+
     def copies(k, c_node):
         c1 = pltpu.make_async_copy(
             up_hbm.at[c_node, :, pl.ds(i_tile * tile, tile)],
-            ustage_ref.at[k], usems.at[k],
+            ustage_ref.at[k, pl.ds(0, CSu)], usems.at[k],
         )
         c2 = pltpu.make_async_copy(
             usc_hbm.at[c_node, :, pl.ds(i_tile * tile, tile)],
@@ -283,6 +288,59 @@ def _kernel_newton_cs(steps_ref, mstk_ref, rootd_ref, wp_ref, invar_ref,
     two branch-length derivatives at once.  acc[e] lanes: 0 = d1,
     1 = d2, 2 = sum_p w_p log f0 + ... (unused; d1/d2 suffice for the
     Newton direction)."""
+    fetch, await_ = _make_fetch(up_hbm, usc_hbm, ustage_ref, sstage_ref,
+                                usems, ssems, pl.program_id(0), tile)
+    _newton_body(steps_ref, rootd_ref, wp_ref, invar_ref, acc_ref,
+                 dslots_ref, dscale_ref, ustage_ref, sstage_ref,
+                 fetch, await_,
+                 mstk_at=lambda k, c_node: mstk_ref[c_node],
+                 n_steps=n_steps, CS=CS, tile=tile)
+
+
+def _kernel_newton_cs_stream(steps_ref, rootd_ref, wp_ref, invar_ref,
+                             mstk_hbm, up_hbm, usc_hbm, acc_ref,
+                             dslots_ref, dscale_ref, ustage_ref,
+                             sstage_ref, mstage_ref, usems, ssems, msems,
+                             *, n_steps: int, CS: int, tile: int):
+    """_kernel_newton_cs with the stacked derivative matrices STREAMED
+    from HBM: at protein/codon widths mstk [2N, 3CS, CS] no longer fits
+    VMEM (CS=80, 300 taxa -> 46 MB), so each child's [3CS, CS] block
+    rides the same double-buffered prefetch slots as its up/usc rows
+    (round-5; the reference instead instantiates 20-state kernels,
+    phylotreeavx.cpp:34 — here the SAME kernel body serves any CS)."""
+    i_tile = pl.program_id(0)
+    # the lane-contraction axis is padded to a 128 multiple (Mosaic HBM
+    # slices must align to the lane tiling): ustage tail rows must be
+    # ZERO so padded mstk columns contract against zeros, not garbage
+    ustage_ref[...] = jnp.zeros(ustage_ref.shape, acc_ref.dtype)
+    fetch_u, await_u = _make_fetch(up_hbm, usc_hbm, ustage_ref, sstage_ref,
+                                   usems, ssems, i_tile, tile)
+
+    def mcopy(k, c_node):
+        return pltpu.make_async_copy(
+            mstk_hbm.at[c_node], mstage_ref.at[k], msems.at[k])
+
+    def fetch(k, c_node):
+        fetch_u(k, c_node)
+        mcopy(k, c_node).start()
+
+    def await_(k):
+        await_u(k)
+        mcopy(k, jnp.int32(0)).wait()
+
+    _newton_body(steps_ref, rootd_ref, wp_ref, invar_ref, acc_ref,
+                 dslots_ref, dscale_ref, ustage_ref, sstage_ref,
+                 fetch, await_,
+                 mstk_at=lambda k, c_node: mstage_ref[k],
+                 n_steps=n_steps, CS=CS, tile=tile)
+
+
+def _newton_body(steps_ref, rootd_ref, wp_ref, invar_ref, acc_ref,
+                 dslots_ref, dscale_ref, ustage_ref, sstage_ref,
+                 fetch, await_, mstk_at, *,
+                 n_steps: int, CS: int, tile: int):
+    """Shared reverse-sweep body; mstk_at(k, c_node) yields the child's
+    stacked [3CS, CS] derivative block (VMEM-resident or streamed)."""
     f32 = acc_ref.dtype
     i_tile = pl.program_id(0)
 
@@ -293,9 +351,6 @@ def _kernel_newton_cs(steps_ref, mstk_ref, rootd_ref, wp_ref, invar_ref,
     wp = wp_ref[0, :]
     invar = invar_ref[0, :]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[0]
-
-    fetch, await_ = _make_fetch(up_hbm, usc_hbm, ustage_ref, sstage_ref,
-                                usems, ssems, i_tile, tile)
 
     def do_step(i, k0: int, k1: int):
         kn = k0 ^ 2
@@ -326,17 +381,17 @@ def _kernel_newton_cs(steps_ref, mstk_ref, rootd_ref, wp_ref, invar_ref,
         u_l, s_l = ustage_ref[k0], sstage_ref[k0, 0, :]
         u_r, s_r = ustage_ref[k1], sstage_ref[k1, 0, :]
 
-        def msg(c_node, u):
+        def msg(k, c_node, u):
             return jax.lax.dot_general(
-                mstk_ref[c_node], u,
+                mstk_at(k, c_node), u,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=f32, precision=HIGHEST,
             )  # [3CS, tile]: rows [0:CS]=PU, [CS:2CS]=P'U, [2CS:]=P''U
 
-        mk_l = msg(l, u_l)
-        mk_r = msg(r, u_r)
+        mk_l = msg(k0, l, u_l)
+        mk_r = msg(k1, r, u_r)
 
-        def side(c_node, c_slot, s_c, mk_c, m0_sib, s_sib):
+        def side(k, c_node, c_slot, s_c, mk_c, m0_sib, s_sib):
             y = d * m0_sib  # unnormalized O_e [CS, tile]
             mx = jnp.maximum(jnp.max(y, axis=0), SCALE_TINY)
             o = y / mx[None, :]
@@ -362,18 +417,18 @@ def _kernel_newton_cs(steps_ref, mstk_ref, rootd_ref, wp_ref, invar_ref,
                 # D_child = P_e^T O_e (transport through the child edge):
                 # contract the parent-side axis of the P block of mstk
                 dd = jax.lax.dot_general(
-                    mstk_ref[c_node][:CS], o,
+                    mstk_at(k, c_node)[:CS], o,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=f32, precision=HIGHEST,
-                )  # [CS, tile]
+                )  # [CS_lane, tile]; rows past CS are zero (padded cols)
                 s = jnp.maximum(c_slot, 0)
-                dslots_ref[s] = dd
+                dslots_ref[s] = dd[:CS]
                 dscale_ref[s] = osc
 
         @pl.when(steps_ref[5, i] >= 0)  # skip packed-schedule padding
         def _real():
-            side(l, ls, s_l, mk_l, mk_r[:CS], s_r)
-            side(r, rs, s_r, mk_r, mk_l[:CS], s_l)
+            side(k0, l, ls, s_l, mk_l, mk_r[:CS], s_r)
+            side(k1, r, rs, s_r, mk_r, mk_l[:CS], s_l)
 
     fetch(jnp.int32(0), steps_ref[0, n_steps - 1])
     fetch(jnp.int32(1), steps_ref[1, n_steps - 1])
@@ -404,12 +459,14 @@ def _fill_tip_rows_cs(up, usc, tipsP, n_taxa, C):
     return up, usc
 
 
-def stacked_deriv_mats(model, blen):
+def stacked_deriv_mats(model, blen, s_pad: int = None):
     """mstk [2N, 3CS, CS]: per edge the block-diag packings of
     (P(t), dP/dt, d2P/dt2) stacked vertically, from the eigensystem
     (P^(k) = V (Lambda r_c)^k e^{Lambda r_c t} V^-1 — the matrices the
     reference's derivative kernel applies implicitly in the theta basis,
-    phylokernel.h:485)."""
+    phylokernel.h:485).  s_pad zero-pads each [S, S] block to
+    [s_pad, s_pad] (wide-CS protein path: the padded rows/cols are inert
+    — zero partial rows stay zero through every product)."""
     from .pruning import block_diag_cs
 
     lam_r = model.eigenvalues * model.rates[:, None]  # [C, S]
@@ -419,6 +476,9 @@ def stacked_deriv_mats(model, blen):
         w = e * lam_r[None] ** k if k else e
         pk = jnp.einsum("csj,ecj,cjt->ecst", model.eigvec, w,
                         model.inv_eigvec, precision=HIGHEST)
+        if s_pad and s_pad != pk.shape[-1]:
+            d = s_pad - pk.shape[-1]
+            pk = jnp.pad(pk, ((0, 0), (0, 0), (0, d), (0, d)))
         mats.append(block_diag_cs(pk))
     return jnp.concatenate(mats, axis=1)
 
@@ -466,8 +526,35 @@ def fused_newton_derivs(
     )
 
 
+def newton_kernel_serves(C: int, S: int) -> bool:
+    """Shapes the fused Newton reverse sweep serves: the CS-packable
+    DNA/morphology classes (VMEM-resident mstk), plus the wide-CS
+    streaming variant for protein (round 5; the reference instead ships
+    a dedicated 20-state kernel instantiation, phylotreeavx.cpp:34).
+    Codon (C*S_pad = 256) stays on the theta path pending validation."""
+    from .pruning import _cs_packable
+
+    S_pad = S if (S <= 8 or S % 8 == 0) else -(-S // 8) * 8
+    return _cs_packable(C, S) or (C * S_pad <= 128 and S <= 32)
+
+
+def _mstk_fits_vmem(n_nodes, CS, dtype, budget=None) -> bool:
+    """Whether the stacked derivative matrices [2N, 3CS, CS] can stay
+    VMEM-resident (leaving at least half the budget for slot scratch);
+    otherwise the streaming reverse sweep DMAs per-child blocks."""
+    from .pruning import default_vmem_budget
+
+    import os
+    if os.environ.get("IQTREE_TPU_FORCE_STREAM_MSTK"):
+        return False
+    if budget is None:
+        budget = default_vmem_budget()
+    itemsize = jnp.dtype(dtype).itemsize
+    return n_nodes * 3 * CS * CS * itemsize <= budget // 2
+
+
 def _pick_tile_newton(n_nodes, CS, n_slots, P_pad, dtype, floor_tile,
-                      budget=None):
+                      budget=None, mstk_resident=True):
     """Largest pattern tile for the REVERSE sweeps (Newton/tbar): their
     VMEM residents are the stacked derivative matrices + slot scratch
     only (no pair matrices, no double-buffered tips), so the tile can
@@ -478,7 +565,10 @@ def _pick_tile_newton(n_nodes, CS, n_slots, P_pad, dtype, floor_tile,
     if budget is None:
         budget = default_vmem_budget()
     itemsize = jnp.dtype(dtype).itemsize
-    mstk = n_nodes * 3 * CS * CS * itemsize
+    if mstk_resident:
+        mstk = n_nodes * 3 * CS * CS * itemsize
+    else:  # streamed: 4 staged blocks instead of the full array
+        mstk = 4 * 3 * CS * CS * itemsize
     out = n_nodes * 128 * itemsize
     fudge = 4 * 2**20
     # P_pad itself first: ONE grid pass traverses the sequential step
@@ -501,28 +591,51 @@ def _fused_newton_derivs_local(
     tile=None, interpret=None,
 ):
     from ..likelihood import branch_transition_mats
-    from .pruning import _pick_tile_cs
+    from .pruning import _cs_packable, _pick_tile_cs
 
     if interpret is None:
         interpret = _interpret_default()
     n_taxa, S, P = tipsP.shape
     C = model.ncat
-    CS = C * S
     steps = steps.astype(jnp.int32)
     n_steps = steps.shape[0]
-    if tile is None:
-        tile = _pick_tile_cs(n_taxa, n_steps, CS, S, n_slots, tipsP.dtype)
-
     trans = branch_transition_mats(model, tree_blen)
-    up, usc8 = _fused_upward_store_cs_local(steps, n_slots, trans, tipsP,
-                                            tile=tile, interpret=interpret)
-    P_pad = up.shape[-1]
+
+    if not _cs_packable(C, S):
+        # wide-CS (protein) path: the GENERAL upward store (compact
+        # [C,S,S] trans in VMEM — block-diag pair matrices at CS=80
+        # would need 58 MB) followed by the SAME packed reverse sweep on
+        # the freely-reshaped [2N, C*S_pad, P] buffer, with the stacked
+        # derivative blocks streamed from HBM
+        from .pruning import _fused_upward_store_local
+
+        S_pad = S if (S <= 8 or S % 8 == 0) else -(-S // 8) * 8
+        CS = C * S_pad
+        up4, _, usc8 = _fused_upward_store_local(
+            steps, trans, tipsP, n_slots=n_slots, tile=tile,
+            interpret=interpret, want_scale8=True)
+        n_nodes = trans.shape[0]
+        P_pad = up4.shape[-1]
+        up = up4.reshape(n_nodes, CS, P_pad)
+    else:
+        CS = C * S
+        S_pad = S
+        if tile is None:
+            tile = _pick_tile_cs(n_taxa, n_steps, CS, S, n_slots,
+                                 tipsP.dtype)
+        up, usc8 = _fused_upward_store_cs_local(
+            steps, n_slots, trans, tipsP, tile=tile, interpret=interpret)
+        P_pad = up.shape[-1]
     # the reverse sweep holds neither the pair matrices nor the tips
     # block in VMEM, so its tile can be much larger than the store's —
     # fewer grid iterations of the same sequential step chain directly
     # cuts its latency-bound wall time (81 -> ~30 ms at 1000 taxa)
+    mstk_resident = _mstk_fits_vmem(trans.shape[0], CS, tipsP.dtype)
     tile = _pick_tile_newton(trans.shape[0], CS, n_slots, P_pad,
-                             tipsP.dtype, tile)
+                             tipsP.dtype, tile or 128,
+                             mstk_resident=mstk_resident)
+    if S_pad != S:
+        tipsP = jnp.pad(tipsP, ((0, 0), (0, S_pad - S), (0, 0)))
     if P_pad != P:
         tipsP = jnp.pad(tipsP, ((0, 0), (0, 0), (0, P_pad - P)),
                         constant_values=1.0)
@@ -531,19 +644,61 @@ def _fused_newton_derivs_local(
     usc = usc8[:, :1, :]  # [2N, 1, P_pad] — single-row DMA source
     up, usc = _fill_tip_rows_cs(up, usc, tipsP, n_taxa, C)
 
-    mstk = stacked_deriv_mats(model, tree_blen)
-    rootd = (model.props[:, None] * model.state_freq).reshape(CS, 1)
+    mstk = stacked_deriv_mats(model, tree_blen, s_pad=S_pad)
+    freq = model.state_freq
+    if S_pad != S:
+        freq = jnp.pad(freq, ((0, 0), (0, S_pad - S)))
+    rootd = (model.props[:, None] * freq).reshape(CS, 1)
     n_nodes = trans.shape[0]
     dtype = tipsP.dtype
 
+    if mstk_resident:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(P_pad // tile,),
+            in_specs=[
+                pl.BlockSpec(mstk.shape, lambda i, s: (i * 0, i * 0, i * 0)),
+                pl.BlockSpec((CS, 1), lambda i, s: (i * 0, i * 0)),
+                pl.BlockSpec((1, tile), lambda i, s: (i * 0, i)),
+                pl.BlockSpec((1, tile), lambda i, s: (i * 0, i)),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # up
+                pl.BlockSpec(memory_space=pltpu.ANY),  # usc
+            ],
+            out_specs=pl.BlockSpec((n_nodes, 128),
+                                   lambda i, s: (i * 0, i * 0)),
+            scratch_shapes=[
+                pltpu.VMEM((n_slots, CS, tile), dtype),
+                pltpu.VMEM((n_slots, tile), dtype),
+                pltpu.VMEM((4, CS, tile), dtype),
+                pltpu.VMEM((4, 1, tile), dtype),
+                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+        )
+        acc = pl.pallas_call(
+            functools.partial(_kernel_newton_cs, n_steps=n_steps, CS=CS,
+                              tile=tile),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_nodes, 128), dtype),
+            interpret=interpret,
+        )(steps.T, mstk, rootd, pattern_freq[None, :], ptn_invar[None, :],
+          up, usc)
+        return acc[:, 0], acc[:, 1]
+    # wide-CS (protein/codon) streaming variant: mstk stays in HBM.
+    # Mosaic HBM slices must align to the (1, 128) lane tiling, so the
+    # contraction axis of mstk (and the ustage rows it multiplies) is
+    # zero-padded to the next 128 multiple
+    LCS = -(-CS // 128) * 128
+    if LCS != CS:
+        mstk = jnp.pad(mstk, ((0, 0), (0, 0), (0, LCS - CS)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(P_pad // tile,),
         in_specs=[
-            pl.BlockSpec(mstk.shape, lambda i, s: (i * 0, i * 0, i * 0)),
             pl.BlockSpec((CS, 1), lambda i, s: (i * 0, i * 0)),
             pl.BlockSpec((1, tile), lambda i, s: (i * 0, i)),
             pl.BlockSpec((1, tile), lambda i, s: (i * 0, i)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # mstk
             pl.BlockSpec(memory_space=pltpu.ANY),  # up
             pl.BlockSpec(memory_space=pltpu.ANY),  # usc
         ],
@@ -552,20 +707,22 @@ def _fused_newton_derivs_local(
         scratch_shapes=[
             pltpu.VMEM((n_slots, CS, tile), dtype),
             pltpu.VMEM((n_slots, tile), dtype),
-            pltpu.VMEM((4, CS, tile), dtype),
+            pltpu.VMEM((4, LCS, tile), dtype),
             pltpu.VMEM((4, 1, tile), dtype),
+            pltpu.VMEM((4, 3 * CS, LCS), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     acc = pl.pallas_call(
-        functools.partial(_kernel_newton_cs, n_steps=n_steps, CS=CS,
-                          tile=tile),
+        functools.partial(_kernel_newton_cs_stream, n_steps=n_steps,
+                          CS=CS, tile=tile),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_nodes, 128), dtype),
         interpret=interpret,
-    )(steps.T, mstk, rootd, pattern_freq[None, :], ptn_invar[None, :],
-      up, usc)
+    )(steps.T, rootd, pattern_freq[None, :], ptn_invar[None, :],
+      mstk, up, usc)
     return acc[:, 0], acc[:, 1]
 
 

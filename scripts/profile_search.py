@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--init", type=int, default=4)
     ap.add_argument("--top", type=int, default=2)
     ap.add_argument("--speednni", action="store_true")
+    ap.add_argument("--protein", action="store_true",
+                    help="profile the 300x2000 AA LG+G search instead "
+                         "of the 1000-taxon DNA workload")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--trace", default=os.environ.get("IQTREE_TPU_PROFILE"))
     a = ap.parse_args()
@@ -49,13 +52,22 @@ def main():
     from iqtree_tpu.io.alignment import Alignment
     from iqtree_tpu.search.driver import SearchParams, run_search
 
-    z = np.load(os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "bench_data.npz"), allow_pickle=True)
-    aln = Alignment.from_sequences(list(z["names"]), list(z["seqs"]), "DNA")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if a.protein:
+        z = np.load(os.path.join(repo, "bench_data_protein.npz"),
+                    allow_pickle=True)
+        aln = Alignment.from_sequences(list(z["names"]), list(z["seqs"]),
+                                       "AA")
+        model = "LG+G"
+    else:
+        z = np.load(os.path.join(repo, "bench_data.npz"), allow_pickle=True)
+        aln = Alignment.from_sequences(list(z["names"]), list(z["seqs"]),
+                                       "DNA")
+        model = "GTR+G"
 
     t0 = time.time()
     sp = SearchParams(
-        model="GTR+G", seed=a.seed, n_init_trees=a.init, n_top_init=a.top,
+        model=model, seed=a.seed, n_init_trees=a.init, n_top_init=a.top,
         fixed_iterations=a.iters, dtype=jnp.float32, speednni=a.speednni,
         log=lambda m: sys.stderr.write(f"[{time.time()-t0:7.1f}s] {m}\n"))
     if a.trace:

@@ -115,3 +115,54 @@ def test_golden_branch_opt():
     sd = SiteData.from_alignment(aln, jnp.float64)
     t_opt, lnl = jax.jit(optimize_all_branches)(ta, ma, sd)
     assert float(lnl) >= -13448.8386446 - 0.05, float(lnl)
+
+
+def test_wide_cs_newton_matches_theta_path():
+    """Round-5 wide-CS (protein, C*S_pad=96) streaming Newton reverse
+    sweep vs the theta-buffer derivatives: same d1/d2 on every free
+    branch (the DNA-class kernel is covered by test_fused_nni)."""
+    from iqtree_tpu.engine.derivatives import (
+        branch_lnl_derivs,
+        compute_thetas,
+        fused_all_passes,
+        optimize_branch_mask,
+    )
+    from iqtree_tpu.engine.kernels.cs_kernels import (
+        fused_newton_derivs,
+        newton_kernel_serves,
+    )
+    from iqtree_tpu.engine.kernels.pruning import device_slot_schedule
+    from iqtree_tpu.engine.likelihood import tip_partials
+    from iqtree_tpu.engine.nni import _ptn_invar
+    from iqtree_tpu.io.alignment import Alignment
+    from iqtree_tpu.models.protein import create_protein_model
+
+    rng = np.random.default_rng(5)
+    chars = "ARNDCQEGHILKMFPSTWYV"
+    seqs = ["".join(rng.choice(list(chars), 80)) for _ in range(8)]
+    aln = Alignment.from_sequences([f"t{i}" for i in range(8)], seqs, "AA")
+    subst = create_protein_model("LG")
+    rate = RateModel.make(gamma_cats=4, alpha=0.8, invar=True, p_invar=0.1)
+    tree = random_tree(8, rng)
+    ta = TreeArrays.from_tree(tree, jnp.float64)
+    ma = ModelArrays.from_model(subst, rate, jnp.float64)
+    sd = SiteData.from_alignment(aln, jnp.float64)
+    assert newton_kernel_serves(ma.ncat, ma.num_states)
+    steps, n_slots = device_slot_schedule(tree, ta)
+    steps = jnp.asarray(steps)
+    tips = tip_partials(sd, ma.ncat)
+
+    up, usc, out, osc, trans, site_p = fused_all_passes(
+        ta, ma, sd, steps, n_slots)
+    th = compute_thetas(ta, ma, site_p, up, usc, out, osc)
+    _, d1t, d2t = branch_lnl_derivs(th, ma, site_p, ta.blen)
+    d1k, d2k = fused_newton_derivs(steps, n_slots, ma, ta.blen, tips,
+                                   sd.pattern_freq, _ptn_invar(ma, sd))
+    n = ta.blen.shape[0]
+    mask = np.asarray(optimize_branch_mask(ta))
+    np.testing.assert_allclose(np.asarray(d1k)[:n][mask],
+                               np.asarray(d1t)[:n][mask],
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(d2k)[:n][mask],
+                               np.asarray(d2t)[:n][mask],
+                               rtol=1e-8, atol=1e-8)
