@@ -360,6 +360,12 @@ def main():
             if k not in ("case", "mode", "status"))
         print(f"{name:<22} {mode:<6} {res['status']:<10} {detail}",
               flush=True)
+        # write the summary INCREMENTALLY so a wall-clock kill of a long
+        # matrix still leaves a usable record of every finished case
+        out_path = a.out or os.path.join(WORK, "summary.json")
+        with open(out_path + ".tmp", "w") as f:
+            json.dump(rows, f, indent=1)
+        os.replace(out_path + ".tmp", out_path)
     with open(a.out or os.path.join(WORK, "summary.json"), "w") as f:
         json.dump(rows, f, indent=1)
     print(f"\n{len(rows) - failures}/{len(rows)} passed; "
