@@ -384,12 +384,27 @@ def run_search(aln: Alignment, params: SearchParams) -> SearchResult:
         # reference scores init trees with optimizeBranches(2),
         # iqtree.cpp:672; our variants start from default lengths, so a
         # few more sweeps with a loose tolerance)
+        # a -maxtime budget must bound the init phase too, not just the
+        # stochastic loop (the reference's doTreeSearch checks
+        # params.maxtime throughout): stop admitting work once 60% of
+        # the budget is gone — the loop still gets its share
+        def init_budget_left() -> bool:
+            return (params.max_seconds is None
+                    or time.time() - t_start < 0.6 * params.max_seconds)
+
         scored = []
         for t in init_variants:
+            if not init_budget_left():
+                log(f"init-variant scoring stopped at {len(scored)}/"
+                    f"{len(init_variants)} (time budget)")
+                break
             t, l = engine.optimize_branches(t, 8, tol=0.1)
             scored.append((l, t))
         scored.sort(key=lambda e: -e[0])
-        for l, t in scored[: params.n_top_init]:
+        for i, (l, t) in enumerate(scored[: params.n_top_init]):
+            if i > 0 and not init_budget_left():
+                log("init-variant climbing stopped (time budget)")
+                break
             r = engine.hill_climb(t, on_tree=on_tree)
             improved = cand.update(r.tree, r.lnl)
             if r.lnl > best_lnl:

@@ -255,7 +255,10 @@ def run_case(name, mode, args, ref_bin, tol, timeout):
     # reference's full-search optimum), so fewer iterations only make
     # the test harder, and f32 noise is far below the 0.5 tolerance.
     # Exact fixed-topology fits stay f64 for tight lnL comparison.
-    our_extra = ("--f64" if mode != "geq" else
+    # search-running modes (geq + run): bound OUR iterations and stay
+    # f32 — an unbounded f64 CPU search (-bo replicates) never finishes
+    # in the matrix's wall budget and only makes the comparison harder
+    our_extra = ("--f64" if mode not in ("geq", "run") else
                  "-n " + os.environ.get("IQTREE_TPU_DIFF_SEARCH_N", "15"))
     # run our CLI on CPU so a concurrent TPU job (bench) is undisturbed;
     # unset IQTREE_TPU_DIFF_PLATFORM to use the default backend
