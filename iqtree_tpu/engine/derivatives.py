@@ -416,11 +416,20 @@ def optimize_all_branches(
         has_asc = bool(np.any(np.asarray(site.asc_mask)))
     except Exception:
         has_asc = True
+    # wide-CS shapes take the kernel only on real TPU backends: in
+    # interpret mode (CPU tests/difftest) the batched-XLA theta path is
+    # far faster than an interpreted 96-lane reverse sweep, and it is
+    # the long-standing CPU behavior for protein
+    from .kernels.pruning import _cs_packable
+
+    wide_ok = jax.default_backend() in ("tpu", "axon")
     use_newton_kernel = (
         steps is not None
         and model.qmat is None
         and not has_asc
-        and newton_kernel_serves(model.ncat, model.num_states)
+        and (_cs_packable(model.ncat, model.num_states)
+             or (wide_ok and newton_kernel_serves(model.ncat,
+                                                  model.num_states)))
     )
 
     if steps is not None:
